@@ -1,0 +1,279 @@
+"""Device-resident packed graph batching (the TPU-native data layout).
+
+The reference batches molecules as padded dense ``(B, max_atoms)`` /
+``(B, 2*max_edges, 2)`` tensors (``train_viscosity.py:52-110,288-314``),
+wasting O(B·N_max) work. Here molecules are instead *packed*: all atoms of
+a batch concatenated into one node axis, all directed edges into one edge
+axis (COO with global node indices), plus segment ids mapping nodes →
+graph slots. Everything is statically shaped (node/edge capacities) so XLA
+compiles once; edges are sorted by destination node for deterministic,
+kernel-friendly aggregation.
+
+Two reference quirks are supported for activation-parity testing:
+
+  * ``duplicate_edges=True`` replays the reference's double expansion: the
+    featurizer already stores both directions of each bond
+    (``featurize.py:54-63``) and the training script *again* emits fwd+rev
+    per stored edge (``train_viscosity.py:85-94``), so each chemical bond
+    contributes 4 directed messages. Clean mode uses the stored 2.
+  * per-node local indices are carried so the model can reproduce the
+    "atom 0 never sends/receives" masking bug (``models/layers.py:74,114-115``).
+
+Also provided: :func:`pad_dense_batch`, a bit-faithful re-implementation of
+the reference's dense padding (+1 id offsets, fwd/rev interleave, silent
+truncation at ``max_edges*2`` — ``train_viscosity.py:76-110,255-262``) used
+as the ground-truth for parity tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "PackedGraphs",
+    "IonPairBatch",
+    "pack_graphs",
+    "pack_ion_pair_batch",
+    "pad_dense_batch",
+    "round_up",
+]
+
+
+def round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+class PackedGraphs(NamedTuple):
+    """A fixed-capacity batch of packed molecular graphs.
+
+    Shapes: N = node capacity, E = edge capacity, B = graph slots.
+    Pad nodes have ``atom_ids == 0`` and ``node_mask == False``; pad edges
+    point at node 0 with ``edge_mask == False``.
+    """
+
+    atom_ids: np.ndarray  # (N,) int32, vocab id + 1; 0 = pad
+    bond_ids: np.ndarray  # (E,) int32, vocab id + 1; 0 = pad
+    src: np.ndarray  # (E,) int32 global node index
+    dst: np.ndarray  # (E,) int32 global node index (sorted ascending)
+    node_graph: np.ndarray  # (N,) int32 graph slot per node
+    node_local: np.ndarray  # (N,) int32 local atom index within molecule
+    node_mask: np.ndarray  # (N,) bool
+    edge_mask: np.ndarray  # (E,) bool
+    n_graphs: int  # static python int: number of graph slots
+
+    @property
+    def node_capacity(self) -> int:
+        return int(self.atom_ids.shape[-1])
+
+    @property
+    def edge_capacity(self) -> int:
+        return int(self.bond_ids.shape[-1])
+
+
+class IonPairBatch(NamedTuple):
+    """One training batch for the dual-encoder models."""
+
+    cation: PackedGraphs
+    anion: PackedGraphs
+    temperature: np.ndarray  # (B, 1) float32 (zeros for MP task)
+    y: np.ndarray  # (B,) float32 target
+    sample_mask: np.ndarray  # (B,) float32, 0 for padded batch slots
+
+
+class GraphCapacityError(ValueError):
+    """Raised when molecules overflow the packing capacity (no silent drops)."""
+
+
+def pack_graphs(
+    graphs: Sequence[Dict[str, Any]],
+    node_cap: int,
+    edge_cap: int,
+    n_graphs: Optional[int] = None,
+    duplicate_edges: bool = False,
+    sort_edges_by_dst: bool = True,
+) -> PackedGraphs:
+    """Pack id-encoded molecule dicts into one fixed-capacity batch.
+
+    Args:
+        graphs: records shaped like the reference's per-ion id dicts:
+            ``{atom_ids, bond_ids, edge_indices, num_atoms}`` with raw
+            (0-based) vocab ids; the +1 pad offset is applied here, matching
+            ``train_viscosity.py:255-262``.
+        node_cap / edge_cap: static capacities (pad to these).
+        n_graphs: number of graph slots (>= len(graphs)); default exactly fits.
+        duplicate_edges: reference parity — emit fwd+rev per *stored* edge.
+        sort_edges_by_dst: sort the packed edge list by destination node
+            (stable), giving deterministic aggregation order and CSR-like
+            locality for the Pallas kernels.
+    """
+    B = len(graphs)
+    if n_graphs is None:
+        n_graphs = B
+    if B > n_graphs:
+        raise GraphCapacityError(f"{B} graphs > {n_graphs} slots")
+
+    atom_ids = np.zeros(node_cap, np.int32)
+    node_graph = np.zeros(node_cap, np.int32)
+    node_local = np.zeros(node_cap, np.int32)
+    node_mask = np.zeros(node_cap, bool)
+
+    srcs: List[int] = []
+    dsts: List[int] = []
+    bonds: List[int] = []
+
+    offset = 0
+    for g_idx, g in enumerate(graphs):
+        n = int(g["num_atoms"])
+        if offset + n > node_cap:
+            raise GraphCapacityError(
+                f"node capacity {node_cap} exceeded at graph {g_idx} ({offset}+{n})"
+            )
+        atom_ids[offset : offset + n] = np.asarray(g["atom_ids"], np.int32) + 1
+        node_graph[offset : offset + n] = g_idx
+        node_local[offset : offset + n] = np.arange(n, dtype=np.int32)
+        node_mask[offset : offset + n] = True
+        for (s, t), b in zip(g["edge_indices"], g["bond_ids"]):
+            srcs.append(offset + int(s))
+            dsts.append(offset + int(t))
+            bonds.append(int(b) + 1)
+            if duplicate_edges:
+                srcs.append(offset + int(t))
+                dsts.append(offset + int(s))
+                bonds.append(int(b) + 1)
+        offset += n
+
+    E = len(srcs)
+    if E > edge_cap:
+        raise GraphCapacityError(f"edge capacity {edge_cap} exceeded ({E})")
+
+    src = np.zeros(edge_cap, np.int32)
+    dst = np.zeros(edge_cap, np.int32)
+    bond_ids = np.zeros(edge_cap, np.int32)
+    edge_mask = np.zeros(edge_cap, bool)
+    src[:E] = srcs
+    dst[:E] = dsts
+    bond_ids[:E] = bonds
+    edge_mask[:E] = True
+
+    if sort_edges_by_dst and E:
+        # Stable sort over real edges only; pads stay at the tail.
+        order = np.argsort(dst[:E], kind="stable")
+        src[:E] = src[:E][order]
+        dst[:E] = dst[:E][order]
+        bond_ids[:E] = bond_ids[:E][order]
+
+    return PackedGraphs(
+        atom_ids=atom_ids,
+        bond_ids=bond_ids,
+        src=src,
+        dst=dst,
+        node_graph=node_graph,
+        node_local=node_local,
+        node_mask=node_mask,
+        edge_mask=edge_mask,
+        n_graphs=int(n_graphs),
+    )
+
+
+def _empty_graph() -> Dict[str, Any]:
+    return {"atom_ids": [], "bond_ids": [], "edge_indices": [], "num_atoms": 0}
+
+
+def pack_ion_pair_batch(
+    records: Sequence[Dict[str, Any]],
+    batch_size: int,
+    node_cap: int,
+    edge_cap: int,
+    target_key: str = "log_eta",
+    with_temperature: bool = True,
+    duplicate_edges: bool = False,
+) -> IonPairBatch:
+    """Pack up to ``batch_size`` id-data records (reference ``*_id_data.pkl``
+    row format) into one :class:`IonPairBatch`; short batches are padded
+    with empty molecules and ``sample_mask == 0``."""
+    B = batch_size
+    n_real = len(records)
+    if n_real > B:
+        raise GraphCapacityError(f"{n_real} records > batch size {B}")
+    cat_graphs = [r["cation"] for r in records] + [_empty_graph()] * (B - n_real)
+    an_graphs = [r["anion"] for r in records] + [_empty_graph()] * (B - n_real)
+    cation = pack_graphs(cat_graphs, node_cap, edge_cap, B, duplicate_edges)
+    anion = pack_graphs(an_graphs, node_cap, edge_cap, B, duplicate_edges)
+    temperature = np.zeros((B, 1), np.float32)
+    y = np.zeros(B, np.float32)
+    mask = np.zeros(B, np.float32)
+    for i, r in enumerate(records):
+        if with_temperature and "T" in r:
+            temperature[i, 0] = float(r["T"])
+        y[i] = float(r[target_key])
+        mask[i] = 1.0
+    return IonPairBatch(cation=cation, anion=anion, temperature=temperature, y=y, sample_mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# Reference-style dense padded batching (parity ground truth)
+# ---------------------------------------------------------------------------
+
+
+def pad_dense_batch(
+    graphs: Sequence[Dict[str, Any]],
+    max_atoms: int,
+    max_edges: int,
+) -> Dict[str, np.ndarray]:
+    """Reference-exact dense padding for a list of id-encoded molecules.
+
+    Reproduces ``pad_sequences_1d`` + ``preprocess_edges_and_bonds``
+    (``train_viscosity.py:52-59,76-110``) including the +1 id offsets
+    applied by the training mains (``:255-262``), the fwd/rev interleave per
+    stored edge, zero padding, and the silent truncation at ``max_edges*2``.
+
+    Returns dict with ``atom (B,max_atoms) int32``, ``bond (B,2*max_edges)
+    int32``, ``conn (B,2*max_edges,2) int32``.
+    """
+    B = len(graphs)
+    atom = np.zeros((B, max_atoms), np.int32)
+    max_len = max_edges * 2
+    bond = np.zeros((B, max_len), np.int32)
+    conn = np.zeros((B, max_len, 2), np.int32)
+    for i, g in enumerate(graphs):
+        ids = np.asarray(g["atom_ids"], np.int32) + 1
+        atom[i, : len(ids)] = ids
+        e2: List[List[int]] = []
+        b2: List[int] = []
+        for (s, t), bid in zip(g["edge_indices"], g["bond_ids"]):
+            e2.append([int(s), int(t)])
+            b2.append(int(bid) + 1)
+            e2.append([int(t), int(s)])
+            b2.append(int(bid) + 1)
+        e2 = e2[:max_len]
+        b2 = b2[:max_len]
+        if e2:
+            conn[i, : len(e2)] = np.asarray(e2, np.int32)
+            bond[i, : len(b2)] = np.asarray(b2, np.int32)
+    return {"atom": atom, "bond": bond, "conn": conn}
+
+
+def capacities_for(
+    records: Sequence[Dict[str, Any]],
+    batch_size: int,
+    node_multiple: int = 8,
+    edge_multiple: int = 128,
+    duplicate_edges: bool = False,
+) -> Tuple[int, int]:
+    """Compute safe (node_cap, edge_cap) for batching ``records`` at
+    ``batch_size``: the max over a greedy scan of consecutive batches,
+    rounded up to TPU-friendly multiples."""
+    node_cap = edge_cap = 0
+    mult = 2 if duplicate_edges else 1
+    for i in range(0, len(records), batch_size):
+        chunk = records[i : i + batch_size]
+        nodes = sum(int(r["cation"]["num_atoms"]) for r in chunk)
+        edges = sum(len(r["cation"]["edge_indices"]) for r in chunk) * mult
+        nodes_a = sum(int(r["anion"]["num_atoms"]) for r in chunk)
+        edges_a = sum(len(r["anion"]["edge_indices"]) for r in chunk) * mult
+        node_cap = max(node_cap, nodes, nodes_a)
+        edge_cap = max(edge_cap, edges, edges_a)
+    return round_up(max(node_cap, 1), node_multiple), round_up(max(edge_cap, 1), edge_multiple)

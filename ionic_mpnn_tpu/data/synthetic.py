@@ -1,0 +1,161 @@
+"""Synthetic ionic-liquid dataset generation.
+
+The reference repo ships no raw data (``data/CA.smi`` etc. are absent from
+the snapshot), so tests, demos, and benchmarks here run on synthetic but
+chemically plausible ionic-liquid pairs: imidazolium / pyridinium /
+ammonium / phosphonium cations with varying alkyl chains, and the common
+anion families (halides, BF4, PF6, acetate/triflate-like, dicyanamide).
+
+Labels are generated from a ground-truth Vogel–Fulcher–Tammann model
+``log10(eta) = A + B/(T/100 + C)`` whose parameters depend smoothly on
+structural descriptors (chain length, ring aromaticity, anion size), plus
+Gaussian noise — so a correct model can drive R² close to 1 and training
+curves are meaningful. Melting points come from an analogous structural
+formula. Raw files are emitted in the reference's exact text formats
+(``parse_data.py:25-135``) so the full pipeline is exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+__all__ = ["generate_ionic_liquid_raw", "CATION_TEMPLATES", "ANION_SMILES"]
+
+
+def _alkyl(n: int) -> str:
+    return "C" * n
+
+
+def _imidazolium(n1: int, n2: int) -> str:
+    # 1-alkyl-3-alkylimidazolium
+    return f"{_alkyl(n1)}n1cc[n+](c1){_alkyl(n2)}" if n2 else f"{_alkyl(n1)}n1cc[nH+]c1"
+
+
+def _pyridinium(n: int) -> str:
+    return f"{_alkyl(n)}[n+]1ccccc1"
+
+
+def _ammonium(n: int) -> str:
+    return f"C[N+](C)({_alkyl(max(n, 1))})C"
+
+
+def _phosphonium(n: int) -> str:
+    return f"CC[P+](CC)(CC){_alkyl(max(n, 1))}"
+
+
+def _pyrrolidinium(n: int) -> str:
+    return f"C[N+]1({_alkyl(max(n, 1))})CCCC1"
+
+
+CATION_TEMPLATES = [
+    ("im", _imidazolium),
+    ("py", _pyridinium),
+    ("am", _ammonium),
+    ("ph", _phosphonium),
+    ("pyr", _pyrrolidinium),
+]
+
+ANION_SMILES: List[Tuple[str, str, float]] = [
+    # (name, smiles, size descriptor)
+    ("Cl", "[Cl-]", 1.0),
+    ("Br", "[Br-]", 1.2),
+    ("I", "[I-]", 1.5),
+    ("BF4", "[B-](F)(F)(F)F", 2.0),
+    ("PF6", "F[P-](F)(F)(F)(F)F", 2.6),
+    ("OAc", "CC(=O)[O-]", 1.8),
+    ("DCA", "N#C[N-]C#N", 1.9),
+    ("MeSO4", "COS(=O)(=O)[O-]", 2.4),
+    ("TfO", "C(F)(F)(F)S(=O)(=O)[O-]", 2.8),
+    ("NO3", "[N+](=O)([O-])[O-]", 1.6),
+]
+
+
+def _cation_descriptor(kind: str, n1: int, n2: int) -> float:
+    base = {"im": 1.0, "py": 1.3, "am": 1.8, "ph": 2.4, "pyr": 1.5}[kind]
+    return base + 0.15 * (n1 + n2)
+
+
+def generate_ionic_liquid_raw(
+    out_dir,
+    n_viscosity: int = 2000,
+    n_mp: int = 400,
+    seed: int = 0,
+    noise: float = 0.05,
+) -> Dict[str, Path]:
+    """Write CA.smi / VISCOSITY.txt / MP.txt in the reference raw format.
+
+    Viscosity rows: ``pair_id pressure T log10_eta`` (pressure constant —
+    the reference drops it, ``parse_data.py:74``). MP rows: ``pair_id mp_K``.
+    """
+    rng = random.Random(seed)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    cations: Dict[str, Tuple[str, float]] = {}
+    idx = 1
+    for kind, fn in CATION_TEMPLATES:
+        for n1 in (1, 2, 4, 6, 8):
+            for n2 in (0, 1):
+                if kind == "im":
+                    smi = fn(n1, n2)
+                else:
+                    if n2:
+                        continue
+                    smi = fn(n1)
+                cid = f"C{idx:03d}"
+                cations[cid] = (smi, _cation_descriptor(kind, n1, n2))
+                idx += 1
+
+    anions: Dict[str, Tuple[str, float]] = {}
+    for k, (name, smi, size) in enumerate(ANION_SMILES, start=1):
+        anions[f"A{k:03d}"] = (smi, size)
+
+    ca_path = out / "CA.smi"
+    with open(ca_path, "w") as f:
+        for cid, (smi, _) in cations.items():
+            f.write(f"{smi} {cid}\n")
+        for aid, (smi, _) in anions.items():
+            f.write(f"{smi} {aid}\n")
+
+    cation_ids = list(cations)
+    anion_ids = list(anions)
+
+    def vft_params(cd: float, ad: float) -> Tuple[float, float, float]:
+        # Smooth structural dependence, scaled to realistic log10 cP ranges.
+        A = -1.2 + 0.25 * cd - 0.3 * ad
+        B = 2.2 + 0.5 * cd + 0.4 * ad
+        C = -1.4 + 0.08 * cd * ad
+        return A, B, C
+
+    vis_path = out / "VISCOSITY.txt"
+    with open(vis_path, "w") as f:
+        f.write("pair_id pressure T log_viscosity\n")
+        for _ in range(n_viscosity):
+            cid = rng.choice(cation_ids)
+            aid = rng.choice(anion_ids)
+            cd, ad = cations[cid][1], anions[aid][1]
+            A, B, C = vft_params(cd, ad)
+            T = rng.uniform(273.0, 373.0)
+            log_eta = A + B / (T / 100.0 + C) + rng.gauss(0.0, noise)
+            f.write(f"{cid}_{aid} 101.325 {T:.2f} {log_eta:.4f}\n")
+
+    mp_path = out / "MP.txt"
+    with open(mp_path, "w") as f:
+        f.write("pair_id mp\n")
+        seen = set()
+        attempts = 0
+        while len(seen) < n_mp and attempts < n_mp * 20:
+            attempts += 1
+            cid = rng.choice(cation_ids)
+            aid = rng.choice(anion_ids)
+            if (cid, aid) in seen:
+                continue
+            seen.add((cid, aid))
+            cd, ad = cations[cid][1], anions[aid][1]
+            mp = 280.0 + 25.0 * math.sin(cd) + 18.0 * ad - 6.0 * cd + rng.gauss(0.0, 4.0)
+            f.write(f"{cid}_{aid} {mp:.2f}\n")
+
+    return {"ca": ca_path, "viscosity": vis_path, "mp": mp_path}

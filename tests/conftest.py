@@ -1,0 +1,42 @@
+"""Test configuration: force an 8-device virtual CPU mesh for all tests.
+
+The standard JAX fake-multi-device backend
+(``--xla_force_host_platform_device_count``) lets the full multi-chip
+sharding path compile and execute without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synthetic_raw(tmp_path_factory):
+    """Small synthetic raw dataset in the reference text formats."""
+    from ionic_mpnn_tpu.data.synthetic import generate_ionic_liquid_raw
+
+    out = tmp_path_factory.mktemp("raw")
+    paths = generate_ionic_liquid_raw(out, n_viscosity=300, n_mp=120, seed=0)
+    return paths
+
+
+@pytest.fixture(scope="session")
+def encoded_viscosity(synthetic_raw):
+    """Synthetic viscosity records run through the full data pipeline."""
+    from ionic_mpnn_tpu.data import parse, vocab as vocab_mod, encode
+
+    cations, anions = parse.load_ca_smiles(synthetic_raw["ca"])
+    vis = parse.parse_viscosity(synthetic_raw["viscosity"], cations, anions)
+    mp = parse.parse_melting_point(synthetic_raw["mp"], cations, anions)
+    vis_graphs, _ = parse.convert_records_to_graphs(vis, "viscosity")
+    mp_graphs, _ = parse.convert_records_to_graphs(mp, "mp")
+    vocab = vocab_mod.build_vocab([vis_graphs, mp_graphs])
+    vis_ids, _ = encode.encode_dataset(vis_graphs, vocab)
+    mp_ids, _ = encode.encode_dataset(mp_graphs, vocab)
+    return {"vocab": vocab, "viscosity": vis_ids, "mp": mp_ids}
