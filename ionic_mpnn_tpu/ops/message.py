@@ -1,0 +1,146 @@
+"""Edge-conditioned bond-matrix message computation (packed, TPU-first).
+
+The reference computes, per directed edge ``e`` with bond state ``b_e`` and
+source atom state ``h_src(e)``::
+
+    M_e = tensordot(b_e, W)          # (bond_dim) x (bond_dim, D, D) -> (D, D)
+    m_e = M_e @ h_src(e)
+
+materializing a (B, E, D, D) tensor of per-edge matrices every step
+(``models/layers.py:106-112``) — the dominant FLOPs and HBM traffic.
+
+TPU-native reformulations provided here:
+
+1. **Bond-type table precompute** (:func:`bond_type_matrices` +
+   :func:`edge_messages_from_table`): in both reference models the bond
+   state is a *pure embedding lookup* that never changes across message
+   steps (``train_viscosity.py:163-172``), so ``M`` only depends on the
+   bond's vocab id. Precompute ``M_table[v] = embed[v] @ W`` once per step
+   — a tiny (V, F) x (F, D*D) matmul — then gather (D, D) matrices per
+   edge. For the melting-point config (F=1024, ``train_melting_point.py:
+   145-150``) this removes a ~1M-FLOP-per-edge tensordot entirely.
+
+2. **Flattened-outer-product matmul** (:func:`edge_messages_dense`): for
+   genuinely per-edge bond states, ``m_e[i] = sum_{f,j} b_ef W_fji h_ej``
+   is evaluated as ``(E, F*D) @ (F*D, D)`` — one MXU-shaped matmul instead
+   of E small ones (the FusedMM-style contraction), chunked over F when
+   the intermediate would blow past VMEM-friendly sizes.
+
+The parity quirk (edges touching each molecule's atom 0 silently dropped,
+``models/layers.py:74,114-115``) is exposed as an explicit mask helper.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "bond_type_matrices",
+    "edge_messages_from_table",
+    "edge_messages_dense",
+    "parity_edge_mask",
+    "message_pass_aggregate",
+]
+
+
+def bond_type_matrices(bond_embed_table: jnp.ndarray, bond_transform: jnp.ndarray) -> jnp.ndarray:
+    """Precompute per-bond-TYPE message matrices.
+
+    Args:
+        bond_embed_table: (V, F) embedding table (V = bond vocab + 1 pad row).
+        bond_transform: (F, D, D) learned transform (Glorot-init in the
+            reference, ``models/layers.py:93-98``).
+    Returns:
+        (V, D, D) matrices; row 0 corresponds to the pad bond id.
+    """
+    V, F = bond_embed_table.shape
+    F2, D, D2 = bond_transform.shape
+    assert F == F2 and D == D2, (bond_embed_table.shape, bond_transform.shape)
+    flat = bond_transform.reshape(F, D * D)
+    return jnp.dot(bond_embed_table, flat, preferred_element_type=jnp.float32).reshape(V, D, D)
+
+
+def edge_messages_from_table(
+    node_states: jnp.ndarray,  # (N, D)
+    bond_ids: jnp.ndarray,  # (E,) int32 into the table
+    src: jnp.ndarray,  # (E,) int32
+    m_table: jnp.ndarray,  # (V, D, D) from bond_type_matrices
+) -> jnp.ndarray:
+    """Per-edge messages ``m_e = M_table[bond_id_e] @ h_src(e)`` → (E, D)."""
+    h_src = node_states[src]  # (E, D) gather
+    m_edge = m_table[bond_ids]  # (E, D, D) gather of tiny table
+    return jnp.einsum("eij,ej->ei", m_edge, h_src, preferred_element_type=jnp.float32)
+
+
+def edge_messages_dense(
+    node_states: jnp.ndarray,  # (N, D)
+    bond_states: jnp.ndarray,  # (E, F) arbitrary per-edge features
+    src: jnp.ndarray,  # (E,)
+    bond_transform: jnp.ndarray,  # (F, D, D)
+    f_chunk: int = 256,
+) -> jnp.ndarray:
+    """General per-edge bond-conditioned messages without a type table.
+
+    Evaluates ``(E, F*D) @ (F*D, D)`` in chunks over F so the flattened
+    outer product stays VMEM-sized even for F=1024.
+    """
+    E, F = bond_states.shape
+    _, D, _ = bond_transform.shape
+    h_src = node_states[src]  # (E, D)
+
+    def chunk(carry, f0):
+        b = jax.lax.dynamic_slice_in_dim(bond_states, f0, f_chunk, axis=1)  # (E, fc)
+        w = jax.lax.dynamic_slice_in_dim(bond_transform, f0, f_chunk, axis=0)  # (fc, D, D)
+        z = (b[:, :, None] * h_src[:, None, :]).reshape(E, f_chunk * D)
+        # W[f, i, j] contracts over (f, j): flatten as (f*j, i).
+        w_flat = w.transpose(0, 2, 1).reshape(f_chunk * D, D)
+        out = jnp.dot(z, w_flat, preferred_element_type=jnp.float32)
+        return carry + out, None
+
+    if F <= f_chunk:
+        z = (bond_states[:, :, None] * h_src[:, None, :]).reshape(E, F * D)
+        w_flat = bond_transform.transpose(0, 2, 1).reshape(F * D, D)
+        return jnp.dot(z, w_flat, preferred_element_type=jnp.float32)
+
+    assert F % f_chunk == 0, f"F={F} must be divisible by f_chunk={f_chunk}"
+    starts = jnp.arange(0, F, f_chunk)
+    init = jnp.zeros((E, D), jnp.float32)
+    out, _ = jax.lax.scan(chunk, init, starts)
+    return out
+
+
+def parity_edge_mask(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    node_local: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reference-parity edge validity.
+
+    The reference +1-offsets atom *ids* but not edge *indices*, then masks
+    edges whose padded src/tgt index is 0 (``models/layers.py:74,114-115``)
+    — silently dropping every molecule's atom 0 from message passing. In
+    packed layout that corresponds to masking edges whose endpoint has
+    local (within-molecule) index 0.
+    """
+    quirk = (node_local[src] > 0) & (node_local[dst] > 0)
+    return edge_mask & quirk
+
+
+def message_pass_aggregate(
+    node_states: jnp.ndarray,  # (N, D)
+    bond_ids: jnp.ndarray,  # (E,)
+    src: jnp.ndarray,  # (E,)
+    dst: jnp.ndarray,  # (E,) sorted
+    m_table: jnp.ndarray,  # (V, D, D)
+    edge_mask: jnp.ndarray,  # (E,) bool (already parity-adjusted if needed)
+) -> jnp.ndarray:
+    """Fused message + aggregate: returns per-node summed messages (N, D)."""
+    messages = edge_messages_from_table(node_states, bond_ids, src, m_table)
+    messages = messages * edge_mask[:, None].astype(messages.dtype)
+    return jax.ops.segment_sum(
+        messages, dst, num_segments=node_states.shape[0], indices_are_sorted=True
+    )
