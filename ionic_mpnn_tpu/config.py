@@ -1,0 +1,105 @@
+"""Configuration tree for models, training, and parallelism.
+
+The reference scatters its configuration across hardcoded keyword defaults
+(``train_viscosity.py:139-147``), module constants, and one absl-flags
+script (``train_melting_point_transfer.py:24-31``). Here everything lives
+in one dataclass tree (SURVEY.md §5.6's prescription).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+__all__ = ["ModelConfig", "TrainConfig", "MeshConfig", "viscosity_config", "melting_point_config"]
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the dual-encoder MPNN family."""
+
+    atom_vocab_size: int  # raw vocab size; +1 pad row is added internally
+    bond_vocab_size: int
+    atom_dim: int = 32  # reference default, train_viscosity.py:142
+    bond_dim: int = 8  # viscosity; melting point uses atom_dim**2 (= 1024)
+    fp_size: int = 32
+    mixing_size: int = 20
+    num_steps: int = 4
+    fp_l2: float = 1e-4  # L2 on the fingerprint Dense kernel (1e-5 for MP)
+    head: str = "vft"  # "vft" (viscosity), "mlp" (melting point), "transfer"
+    parity_mode: bool = False  # reproduce the reference's atom-0 masking quirk
+    compute_dtype: str = "float32"  # "bfloat16" for TPU throughput configs
+    # VFT head constants (models/layers.py:10-42)
+    vft_b_clip: Tuple[float, float] = (0.0, 20.0)
+    vft_c_clip: Tuple[float, float] = (0.1, 50.0)
+    vft_eps: float = 1e-6
+    t_scale: float = 100.0
+    # transfer head (train_melting_point_transfer.py:98-103)
+    transfer_dims: Tuple[int, ...] = (256, 128, 64)
+    transfer_dropout: float = 0.3
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def viscosity_config(atom_vocab_size: int, bond_vocab_size: int, **kw) -> ModelConfig:
+    """Reference viscosity model (train_viscosity.py:139-231)."""
+    return ModelConfig(
+        atom_vocab_size=atom_vocab_size,
+        bond_vocab_size=bond_vocab_size,
+        head="vft",
+        fp_l2=1e-4,
+        **kw,
+    )
+
+
+def melting_point_config(atom_vocab_size: int, bond_vocab_size: int, atom_dim: int = 32, **kw) -> ModelConfig:
+    """Reference melting-point model: bond_dim = atom_dim², MLP head
+    (train_melting_point.py:137-215)."""
+    return ModelConfig(
+        atom_vocab_size=atom_vocab_size,
+        bond_vocab_size=bond_vocab_size,
+        atom_dim=atom_dim,
+        bond_dim=atom_dim * atom_dim,
+        head="mlp",
+        fp_l2=1e-5,
+        **kw,
+    )
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization recipe (reference: Adam(1e-3, clipnorm=1.0), MSE,
+    EarlyStopping(val_loss, patience=50, restore_best_weights=True),
+    epochs<=1000, batch 32 — train_viscosity.py:227-338)."""
+
+    learning_rate: float = 1e-3
+    clipnorm: float = 1.0
+    loss: str = "mse"  # "mse" | "huber"
+    huber_delta: float = 1.0
+    epochs: int = 1000
+    batch_size: int = 32
+    early_stopping_patience: int = 50
+    seed: int = 0
+    normalize_y: bool = False  # z-score on train stats (MP task)
+    weight_decay: float = 0.0
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0  # epochs; 0 = only best/final
+    log_epochs: Tuple[int, ...] = (1, 2, 3, 4, 5, 50, 100, 150, 200)
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for SPMD training."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1  # -1 = all devices
+    model_parallel: int = 1
+
+    def replace(self, **kw) -> "MeshConfig":
+        return dataclasses.replace(self, **kw)

@@ -27,10 +27,10 @@ as the ground-truth for parity tests.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+from flax import struct
 
 __all__ = [
     "PackedGraphs",
@@ -46,12 +46,14 @@ def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
-class PackedGraphs(NamedTuple):
-    """A fixed-capacity batch of packed molecular graphs.
+@struct.dataclass
+class PackedGraphs:
+    """A fixed-capacity batch of packed molecular graphs (a jit-able pytree).
 
     Shapes: N = node capacity, E = edge capacity, B = graph slots.
     Pad nodes have ``atom_ids == 0`` and ``node_mask == False``; pad edges
-    point at node 0 with ``edge_mask == False``.
+    point at node 0 with ``edge_mask == False``. ``n_graphs`` is static
+    (pytree aux data) so it can size ``segment_sum`` outputs under jit.
     """
 
     atom_ids: np.ndarray  # (N,) int32, vocab id + 1; 0 = pad
@@ -62,7 +64,7 @@ class PackedGraphs(NamedTuple):
     node_local: np.ndarray  # (N,) int32 local atom index within molecule
     node_mask: np.ndarray  # (N,) bool
     edge_mask: np.ndarray  # (E,) bool
-    n_graphs: int  # static python int: number of graph slots
+    n_graphs: int = struct.field(pytree_node=False)  # static graph-slot count
 
     @property
     def node_capacity(self) -> int:
@@ -73,7 +75,8 @@ class PackedGraphs(NamedTuple):
         return int(self.bond_ids.shape[-1])
 
 
-class IonPairBatch(NamedTuple):
+@struct.dataclass
+class IonPairBatch:
     """One training batch for the dual-encoder models."""
 
     cation: PackedGraphs

@@ -1,0 +1,116 @@
+"""Ion encoder + shared dual-encoder trunk (the model family's core).
+
+Mirrors the reference assembly (``train_viscosity.py:150-201``,
+``train_melting_point.py:151-194``):
+
+  * atom/bond embedding tables are SHARED between the cation and anion
+    encoders (``train_viscosity.py:163-164``) — and nothing else is: each
+    encoder owns ``num_steps`` FRESH (BondMatrixMessage, GatedUpdate)
+    pairs, i.e. no weight sharing across steps either
+    (``train_viscosity.py:176-184``; SURVEY §7 quirk 3),
+  * readout = masked global sum pool → Dense(fp_size, relu) with L2 on the
+    kernel (``train_viscosity.py:187-189``),
+  * mixing = Dense(mixing_size, relu) per ion, summed elementwise
+    (``train_viscosity.py:197-201``) — the ``mix_cat_an`` tap reused by the
+    transfer pipeline (``train_melting_point_transfer.py:95-96``).
+
+Parity mode applies the reference's atom-0 edge-masking quirk
+(``models/layers.py:74,114-115``) via :func:`parity_edge_mask`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from ..data.packing import PackedGraphs
+from ..ops.message import parity_edge_mask
+from ..ops.segment import aggregate_to_nodes, graph_sum_pool
+from .layers import BondMatrixMessage, GatedUpdate, glorot, keras_embed_init
+
+__all__ = ["IonEncoder", "DualEncoderTrunk"]
+
+
+class IonEncoder(nn.Module):
+    """Encode one packed ion batch into per-graph fingerprints (B, fp)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        graphs: PackedGraphs,
+        atom_table: jnp.ndarray,  # (Va, D) shared embedding table
+        bond_table: jnp.ndarray,  # (Vb, F) shared embedding table
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        h = atom_table[graphs.atom_ids].astype(dtype)  # (N, D)
+
+        edge_mask = graphs.edge_mask
+        if cfg.parity_mode:
+            edge_mask = parity_edge_mask(
+                graphs.src, graphs.dst, graphs.node_local, graphs.edge_mask
+            )
+
+        for step in range(cfg.num_steps):
+            messages = BondMatrixMessage(
+                atom_dim=cfg.atom_dim,
+                bond_dim=cfg.bond_dim,
+                compute_dtype=dtype,
+                name=f"bmm_{step}",
+            )(h, bond_table, graphs.bond_ids, graphs.src)
+            agg = aggregate_to_nodes(
+                messages, graphs.dst, graphs.atom_ids.shape[0], edge_mask
+            )
+            h = GatedUpdate(atom_dim=cfg.atom_dim, name=f"gru_{step}")(
+                h, agg, deterministic=deterministic
+            )
+
+        pooled = graph_sum_pool(h, graphs.node_graph, graphs.n_graphs, graphs.node_mask)
+        fp = nn.Dense(cfg.fp_size, kernel_init=glorot(), name="fp_dense")(pooled)
+        return nn.relu(fp)
+
+
+class DualEncoderTrunk(nn.Module):
+    """Shared embeddings + two ion encoders + mixing sum → (B, mixing_size).
+
+    The trunk is identical across the viscosity, melting-point, and
+    transfer models (up to dims), so transfer learning is a straight
+    parameter-subtree copy.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        cation: PackedGraphs,
+        anion: PackedGraphs,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        atom_table = self.param(
+            "atom_embed", keras_embed_init, (cfg.atom_vocab_size + 1, cfg.atom_dim)
+        )
+        bond_table = self.param(
+            "bond_embed", keras_embed_init, (cfg.bond_vocab_size + 1, cfg.bond_dim)
+        )
+        fp_cat = IonEncoder(cfg, name="cat_encoder")(
+            cation, atom_table, bond_table, deterministic
+        )
+        fp_an = IonEncoder(cfg, name="an_encoder")(
+            anion, atom_table, bond_table, deterministic
+        )
+        cat_proj = nn.relu(
+            nn.Dense(cfg.mixing_size, kernel_init=glorot(), name="cat_proj")(fp_cat)
+        )
+        an_proj = nn.relu(
+            nn.Dense(cfg.mixing_size, kernel_init=glorot(), name="an_proj")(fp_an)
+        )
+        mixed = cat_proj + an_proj  # AddTwoTensors / "mix_cat_an"
+        return {"mixed": mixed, "fp_cat": fp_cat, "fp_an": fp_an}

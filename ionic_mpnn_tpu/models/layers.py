@@ -1,0 +1,125 @@
+"""Flax modules for the MPNN layer family (packed-graph native).
+
+Re-designs of the reference Keras layers (``models/layers.py``) over flat
+packed arrays instead of padded ``(B, N, ...)`` tensors:
+
+  * :class:`BondMatrixMessage` — edge-conditioned messages via the
+    bond-type-table precompute (see :mod:`ionic_mpnn_tpu.ops.message`),
+  * :class:`GatedUpdate` — the reference's GRU variant with LayerNorm and
+    the extra residual (``models/layers.py:128-156``),
+  * VFT head pieces — softplus/clip parameter constraints and the
+    physics form ``log10(eta) = A + B/(T/100 + C + 1e-6)``
+    (``models/layers.py:10-42``, ``train_viscosity.py:197-214``).
+
+Initializers match Keras defaults (glorot-uniform kernels, zero biases,
+uniform(±0.05) embeddings) so training dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.message import bond_type_matrices, edge_messages_from_table
+from ..ops.segment import aggregate_to_nodes
+
+__all__ = ["BondMatrixMessage", "GatedUpdate", "VFTHead", "keras_embed_init"]
+
+glorot = nn.initializers.glorot_uniform
+keras_embed_init = nn.initializers.uniform(scale=0.05)  # Keras Embedding default
+
+
+class BondMatrixMessage(nn.Module):
+    """Per-edge messages ``m_e = (bond_emb[bond_id_e] · W) @ h_src(e)``.
+
+    Owns the Glorot-initialized ``bond_transform`` (F, D, D) exactly like
+    the reference layer (``models/layers.py:93-98``), but consumes the bond
+    *embedding table* + per-edge bond ids: since reference bond states are
+    frozen embedding lookups (``train_viscosity.py:163-172``), the
+    (V, D, D) message-matrix table is precomputed per call — a (V, F) @
+    (F, D·D) matmul — and edges just gather 32×32 matrices.
+    """
+
+    atom_dim: int
+    bond_dim: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        node_states: jnp.ndarray,  # (N, D)
+        bond_table: jnp.ndarray,  # (V, F) embedding table
+        bond_ids: jnp.ndarray,  # (E,)
+        src: jnp.ndarray,  # (E,)
+    ) -> jnp.ndarray:
+        w = self.param(
+            "bond_transform",
+            glorot(in_axis=-2, out_axis=-1, batch_axis=(0,)),
+            (self.bond_dim, self.atom_dim, self.atom_dim),
+        )
+        m_table = bond_type_matrices(
+            bond_table.astype(self.compute_dtype), w.astype(self.compute_dtype)
+        )
+        return edge_messages_from_table(
+            node_states.astype(self.compute_dtype), bond_ids, src, m_table
+        )
+
+
+class GatedUpdate(nn.Module):
+    """Reference gated node update (``models/layers.py:128-156``).
+
+    z/r gates over concat([h, agg]); candidate over concat([r·h, agg]);
+    blend; LayerNorm (Keras default eps 1e-3); EXTRA residual ``+ h``;
+    dropout (rate 0 in every reference config, kept for completeness).
+    """
+
+    atom_dim: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        node_states: jnp.ndarray,  # (N, D)
+        agg: jnp.ndarray,  # (N, D)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        concat = jnp.concatenate([node_states, agg], axis=-1)
+        z = jax.nn.sigmoid(nn.Dense(self.atom_dim, kernel_init=glorot(), name="dense_z")(concat))
+        r = jax.nn.sigmoid(nn.Dense(self.atom_dim, kernel_init=glorot(), name="dense_r")(concat))
+        h_input = jnp.concatenate([r * node_states, agg], axis=-1)
+        h_tilde = jnp.tanh(nn.Dense(self.atom_dim, kernel_init=glorot(), name="dense_h")(h_input))
+        new_state = (1.0 - z) * node_states + z * h_tilde
+        new_state = nn.LayerNorm(epsilon=1e-3, name="layernorm")(new_state)
+        new_state = new_state + node_states
+        if self.dropout_rate > 0.0:
+            new_state = nn.Dropout(self.dropout_rate)(new_state, deterministic=deterministic)
+        return new_state
+
+
+class VFTHead(nn.Module):
+    """Physics-constrained viscosity head.
+
+    Dense(3) over the mixed ion representation, then
+    ``A = x[:,0:1]``, ``B = clip(softplus(x[:,1:2]), 0, 20)``,
+    ``C = clip(softplus(x[:,2:3]), 0.1, 50)``,
+    ``log10(eta) = A + B / (T/100 + C + 1e-6)``
+    (``models/layers.py:10-42``, ``train_viscosity.py:204-214``).
+    """
+
+    b_clip: tuple = (0.0, 20.0)
+    c_clip: tuple = (0.1, 50.0)
+    eps: float = 1e-6
+    t_scale: float = 100.0
+
+    @nn.compact
+    def __call__(self, mixed: jnp.ndarray, temperature: jnp.ndarray) -> jnp.ndarray:
+        params = nn.Dense(3, kernel_init=glorot(), name="visc_params")(mixed)  # (B, 3)
+        a = params[:, 0:1]
+        b = jnp.clip(jax.nn.softplus(params[:, 1:2]), self.b_clip[0], self.b_clip[1])
+        c = jnp.clip(jax.nn.softplus(params[:, 2:3]), self.c_clip[0], self.c_clip[1])
+        t_scaled = temperature / self.t_scale
+        log_eta = a + b / (t_scaled + c + self.eps)
+        return log_eta[:, 0]
