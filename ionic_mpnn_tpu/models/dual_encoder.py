@@ -49,7 +49,7 @@ class IonEncoder(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
-        h = atom_table[graphs.atom_ids].astype(dtype)  # (N, D)
+        h = jnp.take(atom_table, graphs.atom_ids, axis=0).astype(dtype)  # (N, D)
 
         edge_mask = graphs.edge_mask
         if cfg.parity_mode:

@@ -1,0 +1,306 @@
+"""Training loop: jitted step, early stopping, history — the pjit-ready
+replacement for ``model.fit``.
+
+Behavioral parity with the reference recipe (``train_viscosity.py:
+227-338``): Adam(1e-3, global-norm clip 1.0), MSE (or Huber for transfer),
+up to 1000 epochs with EarlyStopping(val_loss, patience=50,
+restore_best_weights=True), per-epoch shuffling, Keras-style history dict,
+and the selective epoch logger (``train_viscosity.py:112-132``). L2
+penalties are applied to the same kernels the reference regularizes (the
+fingerprint/head Dense kernels, ``train_viscosity.py:189``,
+``train_melting_point.py:173,197``).
+
+TPU-first differences: batches are packed (see
+:mod:`ionic_mpnn_tpu.data.loader`) and statically shaped so the step
+compiles once; the loss is sample-masked; the whole step (fwd+bwd+update)
+is one jitted function, donated, and works unchanged under pjit/shard_map
+(see :mod:`ionic_mpnn_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct, traverse_util
+from flax.core import unfreeze
+
+from ..config import ModelConfig, TrainConfig
+from ..data.loader import BatchPlan, iter_batches
+from ..data.packing import IonPairBatch
+from .metrics import mae, r2_score
+from .normalizer import Normalizer
+from .optim import make_optimizer
+
+__all__ = ["TrainState", "FitResult", "make_train_step", "make_eval_step", "fit", "predict"]
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: Any
+
+
+@dataclass
+class FitResult:
+    params: Any
+    batch_stats: Any
+    history: Dict[str, List[float]]
+    normalizer: Normalizer
+    best_val_loss: float
+    epochs_run: int
+    stopped_early: bool
+
+
+_REGULARIZED_KERNELS = ("fp_dense", "head_dense")
+
+
+def _l2_penalty(params: Any, coef: float) -> jnp.ndarray:
+    """Sum of coef * ||W||² over the reference-regularized Dense kernels."""
+    if coef <= 0:
+        return jnp.float32(0.0)
+    flat = traverse_util.flatten_dict(unfreeze(params))
+    total = jnp.float32(0.0)
+    for path, w in flat.items():
+        if path[-1] == "kernel" and any(m in path for m in _REGULARIZED_KERNELS):
+            total = total + jnp.sum(jnp.square(w))
+    return coef * total
+
+
+def _data_loss(pred: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray, kind: str, delta: float) -> jnp.ndarray:
+    if kind == "mse":
+        per = jnp.square(pred - y)
+    elif kind == "huber":
+        err = jnp.abs(pred - y)
+        per = jnp.where(err <= delta, 0.5 * jnp.square(err), delta * (err - 0.5 * delta))
+    else:
+        raise ValueError(f"unknown loss {kind!r}")
+    return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_train_step(
+    model,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    has_batch_stats: bool = False,
+) -> Callable[[TrainState, IonPairBatch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    loss_kind, delta, l2 = train_cfg.loss, train_cfg.huber_delta, model_cfg.fp_l2
+
+    def step(state: TrainState, batch: IonPairBatch):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, mutated = model.apply(
+                    variables, batch, deterministic=False,
+                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                out = model.apply(variables, batch, deterministic=False,
+                                  rngs={"dropout": dropout_rng})
+                new_stats = state.batch_stats
+            data = _data_loss(out["pred"], batch.y, batch.sample_mask, loss_kind, delta)
+            loss = data + _l2_penalty(params, l2)
+            return loss, (data, new_stats)
+
+        (loss, (data_loss, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            rng=rng,
+        )
+        return new_state, {"loss": loss, "data_loss": data_loss}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                   has_batch_stats: bool = False):
+    loss_kind, delta, l2 = train_cfg.loss, train_cfg.huber_delta, model_cfg.fp_l2
+
+    def step(params, batch_stats, batch: IonPairBatch):
+        variables = {"params": params}
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, batch, deterministic=True)
+        data = _data_loss(out["pred"], batch.y, batch.sample_mask, loss_kind, delta)
+        loss = data + _l2_penalty(params, l2)
+        n = jnp.sum(batch.sample_mask)
+        return {"loss_sum": data * n, "reg": loss - data, "n": n, "pred": out["pred"]}
+
+    return jax.jit(step)
+
+
+def predict(
+    model,
+    params: Any,
+    batch_stats: Any,
+    records: Sequence[Dict[str, Any]],
+    plan: BatchPlan,
+) -> np.ndarray:
+    """Predict over records in order; returns (len(records),) predictions."""
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    apply = jax.jit(lambda b: model.apply(variables, b, deterministic=True)["pred"])
+    preds: List[np.ndarray] = []
+    for batch in iter_batches(records, plan, shuffle=False):
+        p = np.asarray(apply(batch))
+        preds.append(p[np.asarray(batch.sample_mask) > 0])
+    return np.concatenate(preds) if preds else np.zeros(0, np.float32)
+
+
+def _normalize_records(records, target_key: str, normalizer: Normalizer):
+    out = []
+    for r in records:
+        r2 = dict(r)
+        r2[target_key] = float(normalizer.transform(np.asarray(r[target_key])))
+        out.append(r2)
+    return out
+
+
+def fit(
+    model,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    train_records: Sequence[Dict[str, Any]],
+    dev_records: Sequence[Dict[str, Any]],
+    plan: BatchPlan,
+    init_variables: Optional[Any] = None,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    verbose: bool = True,
+) -> FitResult:
+    """Train with early stopping; returns best-weight params + history."""
+    if train_cfg.normalize_y:
+        y_train = np.asarray([r[plan.target_key] for r in train_records], np.float32)
+        normalizer = Normalizer.fit(y_train)
+        train_records = _normalize_records(train_records, plan.target_key, normalizer)
+        dev_records = _normalize_records(dev_records, plan.target_key, normalizer)
+    else:
+        normalizer = Normalizer.identity()
+
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    init_rng, state_rng = jax.random.split(rng)
+
+    first_batch = next(iter_batches(train_records, plan))
+    if init_variables is None:
+        init_variables = model.init(
+            {"params": init_rng, "dropout": init_rng}, first_batch, deterministic=True
+        )
+    params = init_variables["params"]
+    batch_stats = init_variables.get("batch_stats", {})
+    has_bs = bool(batch_stats)
+
+    if optimizer is None:
+        optimizer = make_optimizer(train_cfg.learning_rate, train_cfg.clipnorm,
+                                   train_cfg.weight_decay)
+    state = TrainState(
+        step=jnp.int32(0),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        rng=state_rng,
+    )
+
+    train_step = make_train_step(model, model_cfg, train_cfg, optimizer, has_bs)
+    eval_step = make_eval_step(model, model_cfg, train_cfg, has_bs)
+
+    history: Dict[str, List[float]] = {"loss": [], "val_loss": []}
+    best_val = float("inf")
+    best_params = jax.device_get(state.params)
+    best_stats = jax.device_get(state.batch_stats)
+    patience = 0
+    stopped_early = False
+    log_epochs = set(train_cfg.log_epochs) | set(
+        range(train_cfg.epochs - 4, train_cfg.epochs + 1)
+    )
+    epochs_run = 0
+
+    for epoch in range(1, train_cfg.epochs + 1):
+        epochs_run = epoch
+        t0 = time.time()
+        losses, ns = [], []
+        for batch in iter_batches(train_records, plan, shuffle=True,
+                                  seed=train_cfg.seed + epoch):
+            state, m = train_step(state, batch)
+            losses.append(m["loss"])
+            ns.append(float(np.asarray(batch.sample_mask).sum()))
+        w = np.asarray(ns)
+        train_loss = float(np.average(np.asarray(jax.device_get(losses)), weights=w))
+
+        val_sum, val_n, reg = 0.0, 0.0, 0.0
+        for batch in iter_batches(dev_records, plan, shuffle=False):
+            out = jax.device_get(eval_step(state.params, state.batch_stats, batch))
+            val_sum += float(out["loss_sum"])
+            val_n += float(out["n"])
+            reg = float(out["reg"])
+        val_loss = val_sum / max(val_n, 1.0) + reg
+
+        history["loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+
+        if verbose and epoch in log_epochs:
+            print(
+                f"Epoch {epoch}/{train_cfg.epochs} - loss: {train_loss:.6f} "
+                f"- val_loss: {val_loss:.6f} ({time.time() - t0:.2f}s)"
+            )
+
+        if val_loss < best_val:
+            best_val = val_loss
+            best_params = jax.device_get(state.params)
+            best_stats = jax.device_get(state.batch_stats)
+            patience = 0
+        else:
+            patience += 1
+            if patience > train_cfg.early_stopping_patience:
+                stopped_early = True
+                if verbose:
+                    print(f"Early stopping at epoch {epoch} (best val_loss {best_val:.6f})")
+                break
+
+    return FitResult(
+        params=best_params,
+        batch_stats=best_stats,
+        history=history,
+        normalizer=normalizer,
+        best_val_loss=best_val,
+        epochs_run=epochs_run,
+        stopped_early=stopped_early,
+    )
+
+
+def evaluate_splits(
+    model,
+    params: Any,
+    batch_stats: Any,
+    splits: Dict[str, Sequence[Dict[str, Any]]],
+    plan: BatchPlan,
+    normalizer: Normalizer,
+) -> Dict[str, Dict[str, float]]:
+    """R²/MAE per split on the de-normalized scale
+    (``train_viscosity.py:361-370``, ``train_melting_point.py:324-335``)."""
+    results = {}
+    for name, records in splits.items():
+        y_true = np.asarray([r[plan.target_key] for r in records], np.float32)
+        pred_norm = predict(model, params, batch_stats, records, plan)
+        pred = normalizer.inverse(pred_norm)
+        results[name] = {"r2": r2_score(y_true, pred), "mae": mae(y_true, pred)}
+    return results

@@ -1,0 +1,47 @@
+"""Dataset splits: the reference's seed-42 random split + the leak-free
+pair-level split it leaves commented out.
+
+Reference: two chained ``train_test_split(random_state=42)`` calls give
+80/10/10 (``train_viscosity.py:273-274``). That split leaks ion pairs
+across train/dev at different temperatures (the repo's own caveat,
+``README.md:423-434``); the strict pair-level split
+(``train_viscosity.py:277-283``, commented out) is first-class here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import numpy as np
+from sklearn.model_selection import train_test_split
+
+__all__ = ["random_split", "pair_level_split"]
+
+
+def random_split(
+    n: int, seed: int = 42, test_size: float = 0.20
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference-compatible 80/10/10 index split (sklearn, seed 42)."""
+    indices = np.arange(n)
+    idx_train, idx_tmp = train_test_split(indices, test_size=test_size, random_state=seed)
+    idx_dev, idx_test = train_test_split(idx_tmp, test_size=0.50, random_state=seed)
+    return idx_train, idx_dev, idx_test
+
+
+def pair_level_split(
+    pair_ids: Sequence[str], seed: int = 42, test_size: float = 0.30
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Leak-free split on unique pair ids (train_viscosity.py:277-283)."""
+    unique_pairs = np.unique(np.asarray(pair_ids))
+    p_train, p_tmp = train_test_split(unique_pairs, test_size=test_size, random_state=seed)
+    p_dev, p_test = train_test_split(p_tmp, test_size=0.50, random_state=seed)
+    train_set, dev_set = set(p_train), set(p_dev)
+    idx_train, idx_dev, idx_test = [], [], []
+    for i, p in enumerate(pair_ids):
+        if p in train_set:
+            idx_train.append(i)
+        elif p in dev_set:
+            idx_dev.append(i)
+        else:
+            idx_test.append(i)
+    return np.asarray(idx_train), np.asarray(idx_dev), np.asarray(idx_test)
