@@ -1,0 +1,17 @@
+"""Parallel tier: mesh construction, data-parallel and edge-partitioned SPMD."""
+
+from .mesh import batch_sharding, make_mesh, replicated_sharding
+from .data_parallel import make_dp_train_step, shard_batch, stack_batches, split_for_devices
+from .edge_partition import edge_partitioned_aggregate, partition_edges
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "replicated_sharding",
+    "make_dp_train_step",
+    "shard_batch",
+    "stack_batches",
+    "split_for_devices",
+    "edge_partitioned_aggregate",
+    "partition_edges",
+]

@@ -1,0 +1,130 @@
+"""Data-parallel SPMD training over packed graph batches.
+
+Replaces the reference's single-device ``model.fit``
+(``train_viscosity.py:328-338``) with a shard_map'd train step over a
+``Mesh`` data axis: every device owns one packed sub-batch (a full
+statically-shaped :class:`IonPairBatch`), computes local grads, and the
+gradient all-reduce rides ICI via ``psum``. Parameters and optimizer
+state are replicated; the per-device loss is weighted by real-sample
+counts so padded batch slots never bias the global loss.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import ModelConfig, TrainConfig
+from ..data.packing import IonPairBatch, PackedGraphs
+from ..training.loop import TrainState, _data_loss, _l2_penalty
+
+__all__ = ["stack_batches", "shard_batch", "make_dp_train_step"]
+
+
+def stack_batches(batches: Sequence[IonPairBatch]) -> IonPairBatch:
+    """Stack per-device batches along a new leading device axis.
+
+    All batches must share the same static capacities (guaranteed when they
+    come from one :class:`BatchPlan`).
+    """
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *batches)
+
+
+def shard_batch(stacked: IonPairBatch, mesh: Mesh, data_axis: str = "data") -> IonPairBatch:
+    """Device-put a stacked batch with its leading axis sharded over data."""
+    sharding = NamedSharding(mesh, P(data_axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
+
+
+def _squeeze_leading(batch: IonPairBatch) -> IonPairBatch:
+    return jax.tree.map(lambda x: x[0], batch)
+
+
+def make_dp_train_step(
+    model,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    data_axis: str = "data",
+    has_batch_stats: bool = False,
+) -> Callable[[TrainState, IonPairBatch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the SPMD train step.
+
+    Input batch: a stacked :class:`IonPairBatch` with leading axis =
+    ``mesh.shape[data_axis]``, sharded over the data axis (see
+    :func:`shard_batch`). State is replicated.
+    """
+    loss_kind, delta, l2 = train_cfg.loss, train_cfg.huber_delta, model_cfg.fp_l2
+    n_data = mesh.shape[data_axis]
+
+    def per_device_step(state: TrainState, dev_batch: IonPairBatch):
+        batch = _squeeze_leading(dev_batch)  # strip the sharded leading axis
+        rng = jax.random.fold_in(state.rng, jax.lax.axis_index(data_axis))
+        rng, dropout_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, mutated = model.apply(
+                    variables, batch, deterministic=False,
+                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"],
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                out = model.apply(variables, batch, deterministic=False,
+                                  rngs={"dropout": dropout_rng})
+                new_stats = state.batch_stats
+            # globally-correct weighting: local weighted sum / global count
+            local_sum = _data_loss(out["pred"], batch.y, batch.sample_mask,
+                                   loss_kind, delta) * jnp.sum(batch.sample_mask)
+            global_n = jax.lax.psum(jnp.sum(batch.sample_mask), data_axis)
+            data = local_sum / jnp.maximum(global_n, 1.0)
+            reg = _l2_penalty(params, l2) / n_data  # added once globally after psum
+            return data + reg, (data, new_stats, global_n)
+
+        (loss, (data, new_stats, global_n)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = jax.lax.psum(grads, data_axis)
+        loss = jax.lax.psum(loss, data_axis)
+        if has_batch_stats:
+            new_stats = jax.lax.pmean(new_stats, data_axis)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            rng=jax.random.fold_in(state.rng, 1),
+        )
+        return new_state, {"loss": loss, "n": global_n}
+
+    state_spec = P()  # replicated
+    batch_spec = P(data_axis)
+
+    sharded = shard_map(
+        per_device_step,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def split_for_devices(
+    records: Sequence[Any], n_devices: int
+) -> List[Sequence[Any]]:
+    """Round-robin records across devices (equal counts, off-by-one ok)."""
+    return [list(records[i::n_devices]) for i in range(n_devices)]
