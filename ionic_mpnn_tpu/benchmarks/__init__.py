@@ -1,0 +1,10 @@
+"""Benchmark harnesses (edges/s north-star metric)."""
+
+from .harness import bench_dense_reference, bench_packed_train_step, make_bench_dataset, run_benchmark
+
+__all__ = [
+    "bench_dense_reference",
+    "bench_packed_train_step",
+    "make_bench_dataset",
+    "run_benchmark",
+]

@@ -1,0 +1,227 @@
+"""Throughput benchmark harness: message-edges/s on MPNN fwd+bwd.
+
+North-star metric (BASELINE.json): edges/s/chip on the flagship viscosity
+MPNN's full training step. One "message edge" = one directed edge
+processed by one BondMatrixMessage step; a train step processes
+``(E_cat + E_an) * num_steps`` of them, forward and backward.
+
+``vs_baseline`` is the speedup over the *reference design* — the same
+weights and math evaluated with dense padded per-molecule batching and
+per-edge tensordot matrices (see :mod:`.dense_model`) on the same chip —
+i.e. how much the packed-COO + bond-type-table TPU-native design buys.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig, viscosity_config
+from ..data import build_vocab, encode_dataset, iter_batches, plan_capacities, smiles_to_graph
+from ..data.packing import pad_dense_batch
+from ..data.synthetic import ANION_SMILES, CATION_TEMPLATES
+from ..models import ViscosityModel
+from ..training.loop import TrainState, make_train_step
+from ..training.optim import make_optimizer
+from .dense_model import dense_viscosity_forward
+
+__all__ = ["make_bench_dataset", "bench_packed_train_step", "bench_dense_reference", "run_benchmark"]
+
+
+def make_bench_dataset(n_records: int = 512, seed: int = 0):
+    """Synthetic ionic-liquid id-records for benchmarking (in-memory)."""
+    rng = np.random.default_rng(seed)
+    cation_smiles = []
+    for kind, fn in CATION_TEMPLATES:
+        for n1 in (1, 2, 4, 6, 8):
+            cation_smiles.append(fn(n1, 1) if kind == "im" else fn(n1))
+    anion_smiles = [s for _, s, _ in ANION_SMILES]
+
+    cation_graphs = [smiles_to_graph(s) for s in cation_smiles]
+    anion_graphs = [smiles_to_graph(s) for s in anion_smiles]
+
+    graph_records = []
+    for i in range(n_records):
+        graph_records.append(
+            {
+                "pair_id": f"B{i}",
+                "cation_graph": cation_graphs[int(rng.integers(len(cation_graphs)))],
+                "anion_graph": anion_graphs[int(rng.integers(len(anion_graphs)))],
+                "T": float(rng.uniform(280, 360)),
+                "log_eta": float(rng.normal(1.5, 0.5)),
+            }
+        )
+    vocab = build_vocab([graph_records])
+    records, report = encode_dataset(graph_records, vocab)
+    assert not report.skipped
+    return records, vocab
+
+
+@dataclass
+class BenchResult:
+    edges_per_s: float
+    steps_per_s: float
+    molecules_per_s: float
+    message_edges_per_step: int
+    wall_s: float
+
+
+def _count_message_edges(batch, num_steps: int) -> int:
+    e = int(np.asarray(batch.cation.edge_mask).sum() + np.asarray(batch.anion.edge_mask).sum())
+    return e * num_steps
+
+
+def bench_packed_train_step(
+    records,
+    vocab,
+    batch_size: int = 512,
+    num_steps: int = 4,
+    iters: int = 30,
+    warmup: int = 5,
+    compute_dtype: str = "float32",
+) -> BenchResult:
+    cfg = viscosity_config(
+        vocab.atom_vocab_size, vocab.bond_vocab_size,
+        num_steps=num_steps, compute_dtype=compute_dtype,
+    )
+    tcfg = TrainConfig()
+    plan = plan_capacities(records, batch_size=batch_size)
+    batch = next(iter_batches(records[:batch_size], plan))
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    model = ViscosityModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    optimizer = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+    state = TrainState(
+        step=jnp.int32(0),
+        params=variables["params"],
+        batch_stats={},
+        opt_state=optimizer.init(variables["params"]),
+        rng=jax.random.PRNGKey(0),
+    )
+    step_fn = make_train_step(model, cfg, tcfg, optimizer)
+
+    for _ in range(warmup):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    me = _count_message_edges(batch, num_steps)
+    n_mol = int(np.asarray(batch.sample_mask).sum()) * 2  # both ions
+    return BenchResult(
+        edges_per_s=me * iters / dt,
+        steps_per_s=iters / dt,
+        molecules_per_s=n_mol * iters / dt,
+        message_edges_per_step=me,
+        wall_s=dt,
+    )
+
+
+def bench_dense_reference(
+    records,
+    vocab,
+    batch_size: int = 512,
+    num_steps: int = 4,
+    iters: int = 10,
+    warmup: int = 3,
+) -> BenchResult:
+    """Reference-design baseline: dense padded batching + per-edge tensordot."""
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size, num_steps=num_steps)
+    subset = records[:batch_size]
+    max_atoms = max(
+        max(r["cation"]["num_atoms"] for r in subset),
+        max(r["anion"]["num_atoms"] for r in subset),
+    )
+    max_edges = max(
+        max(len(r["cation"]["edge_indices"]) for r in subset),
+        max(len(r["anion"]["edge_indices"]) for r in subset),
+    )
+    cat = pad_dense_batch([r["cation"] for r in subset], max_atoms, max_edges)
+    an = pad_dense_batch([r["anion"] for r in subset], max_atoms, max_edges)
+    dense_inputs = {
+        "cat_atom": jnp.asarray(cat["atom"]), "cat_bond": jnp.asarray(cat["bond"]),
+        "cat_conn": jnp.asarray(cat["conn"]),
+        "an_atom": jnp.asarray(an["atom"]), "an_bond": jnp.asarray(an["bond"]),
+        "an_conn": jnp.asarray(an["conn"]),
+        "temperature": jnp.asarray(
+            np.array([[r["T"]] for r in subset], np.float32)
+        ),
+    }
+    y = jnp.asarray(np.array([r["log_eta"] for r in subset], np.float32))
+
+    # identical weights to the packed model
+    plan = plan_capacities(subset, batch_size=batch_size)
+    packed_batch = next(iter_batches(subset, plan))
+    model = ViscosityModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), packed_batch)["params"]
+
+    def loss_fn(p):
+        pred = dense_viscosity_forward(p, cfg, dense_inputs)
+        return jnp.mean((pred - y) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    for _ in range(warmup):
+        loss, grads = grad_fn(params)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = grad_fn(params)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    # count REAL message edges (the useful work) — the dense design also
+    # grinds through padding, which is exactly why it loses.
+    real_edges = sum(
+        2 * len(r[side]["edge_indices"]) for r in subset for side in ("cation", "anion")
+    )
+    me = real_edges * num_steps
+    return BenchResult(
+        edges_per_s=me * iters / dt,
+        steps_per_s=iters / dt,
+        molecules_per_s=2 * batch_size * iters / dt,
+        message_edges_per_step=me,
+        wall_s=dt,
+    )
+
+
+def run_benchmark(
+    batch_size: int = 512,
+    num_steps: int = 4,
+    iters: int = 30,
+    with_baseline: bool = True,
+    compute_dtype: str = "float32",
+) -> Dict[str, Any]:
+    records, vocab = make_bench_dataset(max(batch_size, 512))
+    packed = bench_packed_train_step(
+        records, vocab, batch_size=batch_size, num_steps=num_steps, iters=iters,
+        compute_dtype=compute_dtype,
+    )
+    out: Dict[str, Any] = {
+        "metric": "message_edges_per_s_fwd_bwd",
+        "value": round(packed.edges_per_s, 1),
+        "unit": "edges/s",
+        "steps_per_s": round(packed.steps_per_s, 3),
+        "molecules_per_s": round(packed.molecules_per_s, 1),
+        "batch_size": batch_size,
+        "num_steps": num_steps,
+    }
+    if with_baseline:
+        dense = bench_dense_reference(
+            records, vocab, batch_size=min(batch_size, 256), num_steps=num_steps
+        )
+        out["vs_baseline"] = round(packed.edges_per_s / dense.edges_per_s, 3)
+        out["baseline_edges_per_s"] = round(dense.edges_per_s, 1)
+    else:
+        out["vs_baseline"] = 1.0
+    return out

@@ -83,6 +83,7 @@ class TrainConfig:
     early_stopping_patience: int = 50
     seed: int = 0
     normalize_y: bool = False  # z-score on train stats (MP task)
+    normalize_guard: str = "or1"  # "or1" (train_melting_point.py:256) | "eps" (transfer :174-181)
     weight_decay: float = 0.0
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # epochs; 0 = only best/final

@@ -191,7 +191,7 @@ def fit(
     """Train with early stopping; returns best-weight params + history."""
     if train_cfg.normalize_y:
         y_train = np.asarray([r[plan.target_key] for r in train_records], np.float32)
-        normalizer = Normalizer.fit(y_train)
+        normalizer = Normalizer.fit(y_train, guard=train_cfg.normalize_guard)
         train_records = _normalize_records(train_records, plan.target_key, normalizer)
         dev_records = _normalize_records(dev_records, plan.target_key, normalizer)
     else:

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Viscosity training pipeline (reference ``train_viscosity.py:237-413``
+equivalent, TPU-native).
+
+Loads ``viscosity_id_data.pkl`` + ``vocab.pkl`` (reference pickle formats
+or the .npz shards), splits 80/10/10 (seed-42 random by default;
+``--pair-split`` enables the leak-free pair-level split the reference
+leaves commented out), trains the dual-encoder VFT model with early
+stopping, then saves history, checkpoint, loss curve, parity plot, and
+prints R²/MAE for train/dev/test.
+"""
+
+import argparse
+import pickle
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="data/viscosity_id_data.pkl")
+    ap.add_argument("--vocab", default="data/vocab.pkl")
+    ap.add_argument("--out-dir", default="results/viscosity")
+    ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--patience", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--num-steps", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pair-split", action="store_true", help="leak-free pair-level split")
+    ap.add_argument("--parity-mode", action="store_true", help="reproduce reference quirks")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    from ionic_mpnn_tpu.config import TrainConfig, viscosity_config
+    from ionic_mpnn_tpu.data import Vocab, plan_capacities
+    from ionic_mpnn_tpu.data.reference_io import load_id_data_npz, load_pickle
+    from ionic_mpnn_tpu.models import ViscosityModel
+    from ionic_mpnn_tpu.training import (
+        evaluate_splits, fit, pair_level_split, predict, random_split, save_checkpoint,
+    )
+    from ionic_mpnn_tpu.utils import plot_loss, plot_parity
+
+    data_path = Path(args.data)
+    records = (
+        load_id_data_npz(data_path) if data_path.suffix == ".npz" else load_pickle(data_path)
+    )
+    vocab = Vocab.load(args.vocab)
+    print(f"{len(records)} records; vocab atoms={vocab.atom_vocab_size} bonds={vocab.bond_vocab_size}")
+
+    if args.pair_split:
+        idx_train, idx_dev, idx_test = pair_level_split([r["pair_id"] for r in records])
+    else:
+        idx_train, idx_dev, idx_test = random_split(len(records))
+    train = [records[i] for i in idx_train]
+    dev = [records[i] for i in idx_dev]
+    test = [records[i] for i in idx_test]
+    print(f"split: train={len(train)} dev={len(dev)} test={len(test)}")
+
+    cfg = viscosity_config(
+        vocab.atom_vocab_size, vocab.bond_vocab_size,
+        num_steps=args.num_steps, parity_mode=args.parity_mode, compute_dtype=args.dtype,
+    )
+    tcfg = TrainConfig(
+        learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+        early_stopping_patience=args.patience, seed=args.seed,
+    )
+    plan = plan_capacities(train, batch_size=tcfg.batch_size,
+                           duplicate_edges=args.parity_mode)
+    model = ViscosityModel(cfg)
+    result = fit(model, cfg, tcfg, train, dev, plan)
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "history_viscosity.pkl", "wb") as f:
+        pickle.dump(result.history, f)
+    save_checkpoint(out_dir / "checkpoints", result.epochs_run, result.params,
+                    normalizer=result.normalizer)
+    plot_loss(result.history, out_dir / "loss_viscosity.png", "Training curve (viscosity)")
+
+    metrics = evaluate_splits(
+        model, result.params, result.batch_stats,
+        {"Train": train, "Dev": dev, "Test": test}, plan, result.normalizer,
+    )
+    for name, m in metrics.items():
+        print(f"{name}: R2={m['r2']:.4f}, MAE={m['mae']:.4f}")
+
+    y_train = np.array([r["log_eta"] for r in train], np.float32)
+    y_dev = np.array([r["log_eta"] for r in dev], np.float32)
+    pred_train = predict(model, result.params, result.batch_stats, train, plan)
+    pred_dev = predict(model, result.params, result.batch_stats, dev, plan)
+    plot_parity(
+        y_train, pred_train, y_dev, pred_dev, out_dir / "figure2_a_viscosity.png",
+        xlabel="Experimental log(viscosity)", ylabel="Predicted log(viscosity)",
+        title="Viscosity prediction (Figure 2a)",
+    )
+    print(f"artifacts → {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
