@@ -19,6 +19,7 @@ def main() -> int:
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--no-baseline", action="store_true")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--message-impl", default="gather", choices=["gather", "typed"])
     args = parser.parse_args()
 
     from ionic_mpnn_tpu.benchmarks import run_benchmark
@@ -29,6 +30,7 @@ def main() -> int:
         iters=args.iters,
         with_baseline=not args.no_baseline,
         compute_dtype=args.dtype,
+        message_impl=args.message_impl,
     )
     print(json.dumps(result))
     return 0

@@ -84,10 +84,11 @@ def bench_packed_train_step(
     iters: int = 30,
     warmup: int = 5,
     compute_dtype: str = "float32",
+    message_impl: str = "gather",
 ) -> BenchResult:
     cfg = viscosity_config(
         vocab.atom_vocab_size, vocab.bond_vocab_size,
-        num_steps=num_steps, compute_dtype=compute_dtype,
+        num_steps=num_steps, compute_dtype=compute_dtype, message_impl=message_impl,
     )
     tcfg = TrainConfig()
     plan = plan_capacities(records, batch_size=batch_size)
@@ -201,11 +202,12 @@ def run_benchmark(
     iters: int = 30,
     with_baseline: bool = True,
     compute_dtype: str = "float32",
+    message_impl: str = "gather",
 ) -> Dict[str, Any]:
     records, vocab = make_bench_dataset(max(batch_size, 512))
     packed = bench_packed_train_step(
         records, vocab, batch_size=batch_size, num_steps=num_steps, iters=iters,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, message_impl=message_impl,
     )
     out: Dict[str, Any] = {
         "metric": "message_edges_per_s_fwd_bwd",

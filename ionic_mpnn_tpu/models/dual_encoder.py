@@ -28,7 +28,7 @@ from flax import linen as nn
 from ..config import ModelConfig
 from ..data.packing import PackedGraphs
 from ..ops.message import parity_edge_mask
-from ..ops.segment import aggregate_to_nodes, graph_sum_pool
+from ..ops.segment import graph_sum_pool
 from .layers import BondMatrixMessage, GatedUpdate, glorot, keras_embed_init
 
 __all__ = ["IonEncoder", "DualEncoderTrunk"]
@@ -58,15 +58,13 @@ class IonEncoder(nn.Module):
             )
 
         for step in range(cfg.num_steps):
-            messages = BondMatrixMessage(
+            agg = BondMatrixMessage(
                 atom_dim=cfg.atom_dim,
                 bond_dim=cfg.bond_dim,
                 compute_dtype=dtype,
+                impl=cfg.message_impl,
                 name=f"bmm_{step}",
-            )(h, bond_table, graphs.bond_ids, graphs.src)
-            agg = aggregate_to_nodes(
-                messages, graphs.dst, graphs.atom_ids.shape[0], edge_mask
-            )
+            )(h, bond_table, graphs.bond_ids, graphs.src, graphs.dst, edge_mask)
             h = GatedUpdate(atom_dim=cfg.atom_dim, name=f"gru_{step}")(
                 h, agg, deterministic=deterministic
             )

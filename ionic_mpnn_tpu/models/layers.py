@@ -23,8 +23,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.message import bond_type_matrices, edge_messages_from_table
-from ..ops.segment import aggregate_to_nodes
+from ..ops.message import (
+    bond_type_matrices,
+    message_pass_aggregate,
+    message_pass_aggregate_typed,
+)
 
 __all__ = ["BondMatrixMessage", "GatedUpdate", "VFTHead", "keras_embed_init"]
 
@@ -33,19 +36,25 @@ keras_embed_init = nn.initializers.uniform(scale=0.05)  # Keras Embedding defaul
 
 
 class BondMatrixMessage(nn.Module):
-    """Per-edge messages ``m_e = (bond_emb[bond_id_e] · W) @ h_src(e)``.
+    """Fused edge-conditioned message + destination aggregation.
 
-    Owns the Glorot-initialized ``bond_transform`` (F, D, D) exactly like
-    the reference layer (``models/layers.py:93-98``), but consumes the bond
-    *embedding table* + per-edge bond ids: since reference bond states are
-    frozen embedding lookups (``train_viscosity.py:163-172``), the
-    (V, D, D) message-matrix table is precomputed per call — a (V, F) @
-    (F, D·D) matmul — and edges just gather 32×32 matrices.
+    Covers the reference's BondMatrixMessage→Reduce pair
+    (``models/layers.py:87-125`` + ``:52-83``): owns the Glorot-initialized
+    ``bond_transform`` (F, D, D), but consumes the bond *embedding table* +
+    per-edge bond ids — reference bond states are frozen embedding lookups
+    (``train_viscosity.py:163-172``) — so the (V, D, D) message-matrix
+    table is precomputed per call (a (V, F) @ (F, D·D) matmul) and no
+    (E, D, D) tensor is ever materialized.
+
+    ``impl``: "gather" (matrix gather + batched matvec + segment-sum) or
+    "typed" (type-bucketed scatter + one MXU matmul, see
+    :func:`~ionic_mpnn_tpu.ops.message.message_pass_aggregate_typed`).
     """
 
     atom_dim: int
     bond_dim: int
     compute_dtype: jnp.dtype = jnp.float32
+    impl: str = "gather"
 
     @nn.compact
     def __call__(
@@ -54,6 +63,8 @@ class BondMatrixMessage(nn.Module):
         bond_table: jnp.ndarray,  # (V, F) embedding table
         bond_ids: jnp.ndarray,  # (E,)
         src: jnp.ndarray,  # (E,)
+        dst: jnp.ndarray,  # (E,) sorted by destination
+        edge_mask: jnp.ndarray,  # (E,) bool, parity-adjusted by the caller
     ) -> jnp.ndarray:
         w = self.param(
             "bond_transform",
@@ -63,8 +74,9 @@ class BondMatrixMessage(nn.Module):
         m_table = bond_type_matrices(
             bond_table.astype(self.compute_dtype), w.astype(self.compute_dtype)
         )
-        return edge_messages_from_table(
-            node_states.astype(self.compute_dtype), bond_ids, src, m_table
+        fn = message_pass_aggregate_typed if self.impl == "typed" else message_pass_aggregate
+        return fn(
+            node_states.astype(self.compute_dtype), bond_ids, src, dst, m_table, edge_mask
         )
 
 

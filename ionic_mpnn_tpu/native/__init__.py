@@ -1,0 +1,153 @@
+"""Native (C++) host-side components, loaded via ctypes.
+
+The TPU compute path is JAX/XLA/Pallas; the host-side runtime pieces that
+sit on the per-step critical path — batch packing foremost — have C++
+implementations here. The library is compiled lazily with g++ on first
+use and cached next to the source; everything degrades gracefully to the
+pure-Python implementations if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["get_packer_lib", "native_available", "pack_graphs_native", "plan_batches_native"]
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "packer.cpp"
+_LIB = _HERE / "libpacker.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", str(_LIB), str(_SRC)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def get_packer_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native packer; None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _build_failed = True
+            return None
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.pack_graphs.restype = ctypes.c_int
+        lib.pack_graphs.argtypes = [
+            i32p, i64p, i32p, i32p, i64p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p, i32p, u8p, u8p,
+        ]
+        lib.plan_batches.restype = ctypes.c_int
+        lib.plan_batches.argtypes = [
+            i32p, i32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_packer_lib() is not None
+
+
+def pack_graphs_native(
+    atom_ids_flat: np.ndarray,
+    atom_off: np.ndarray,
+    bond_ids_flat: np.ndarray,
+    edges_flat: np.ndarray,
+    edge_off: np.ndarray,
+    node_cap: int,
+    edge_cap: int,
+    duplicate_edges: bool = False,
+    sort_by_dst: bool = True,
+):
+    """C++ packing of columnar molecule arrays into one batch's buffers.
+
+    Returns the 8 packed arrays (atom_ids, bond_ids, src, dst, node_graph,
+    node_local, node_mask, edge_mask); raises on capacity overflow.
+    """
+    lib = get_packer_lib()
+    if lib is None:
+        raise RuntimeError("native packer unavailable (no g++?)")
+    num_graphs = len(atom_off) - 1
+    atom_ids = np.empty(node_cap, np.int32)
+    bond_ids = np.empty(edge_cap, np.int32)
+    src = np.empty(edge_cap, np.int32)
+    dst = np.empty(edge_cap, np.int32)
+    node_graph = np.empty(node_cap, np.int32)
+    node_local = np.empty(node_cap, np.int32)
+    node_mask = np.empty(node_cap, np.uint8)
+    edge_mask = np.empty(edge_cap, np.uint8)
+    rc = lib.pack_graphs(
+        np.ascontiguousarray(atom_ids_flat, np.int32),
+        np.ascontiguousarray(atom_off, np.int64),
+        np.ascontiguousarray(bond_ids_flat, np.int32),
+        np.ascontiguousarray(edges_flat, np.int32).reshape(-1),
+        np.ascontiguousarray(edge_off, np.int64),
+        num_graphs, node_cap, edge_cap,
+        int(duplicate_edges), int(sort_by_dst),
+        atom_ids, bond_ids, src, dst, node_graph, node_local, node_mask, edge_mask,
+    )
+    if rc == -1:
+        raise ValueError(f"node capacity {node_cap} exceeded")
+    if rc == -2:
+        raise ValueError(f"edge capacity {edge_cap} exceeded")
+    if rc != 0:
+        raise ValueError(f"native packer error {rc}")
+    return (atom_ids, bond_ids, src, dst, node_graph, node_local,
+            node_mask.astype(bool), edge_mask.astype(bool))
+
+
+def plan_batches_native(
+    n_nodes_a: np.ndarray, n_edges_a: np.ndarray,
+    n_nodes_b: np.ndarray, n_edges_b: np.ndarray,
+    batch_size: int, node_cap: int, edge_cap: int,
+) -> np.ndarray:
+    """Greedy batch boundaries; returns starts array of len n_batches+1."""
+    lib = get_packer_lib()
+    if lib is None:
+        raise RuntimeError("native packer unavailable (no g++?)")
+    num_graphs = len(n_nodes_a)
+    starts = np.empty(num_graphs + 1, np.int32)
+    rc = lib.plan_batches(
+        np.ascontiguousarray(n_nodes_a, np.int32),
+        np.ascontiguousarray(n_edges_a, np.int32),
+        np.ascontiguousarray(n_nodes_b, np.int32),
+        np.ascontiguousarray(n_edges_b, np.int32),
+        num_graphs, batch_size, node_cap, edge_cap, starts,
+    )
+    if rc < 0:
+        raise ValueError(f"a single graph exceeds capacities (err {rc})")
+    return starts[: rc + 1]

@@ -29,6 +29,7 @@ def save_checkpoint(
     opt_state: Any = None,
     normalizer: Optional[Normalizer] = None,
     extra: Optional[Dict[str, Any]] = None,
+    extra_arrays: Optional[Dict[str, Any]] = None,
 ) -> Path:
     directory = Path(directory).absolute()
     directory.mkdir(parents=True, exist_ok=True)
@@ -38,6 +39,9 @@ def save_checkpoint(
         payload["batch_stats"] = jax.device_get(batch_stats)
     if opt_state is not None:
         payload["opt_state"] = jax.device_get(opt_state)
+    if extra_arrays:
+        for k, v in extra_arrays.items():
+            payload[k] = jax.device_get(v)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "state", payload, force=True)
     meta = {"step": step}

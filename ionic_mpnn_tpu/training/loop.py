@@ -36,6 +36,7 @@ from ..data.packing import IonPairBatch
 from .metrics import mae, r2_score
 from .normalizer import Normalizer
 from .optim import make_optimizer
+from . import checkpoint as ckpt
 
 __all__ = ["TrainState", "FitResult", "make_train_step", "make_eval_step", "fit", "predict"]
 
@@ -233,8 +234,56 @@ def fit(
         range(train_cfg.epochs - 4, train_cfg.epochs + 1)
     )
     epochs_run = 0
+    start_epoch = 1
 
-    for epoch in range(1, train_cfg.epochs + 1):
+    # ---- checkpoint/resume (absent in the reference — SURVEY §5.3/5.4) ----
+    ckpt_dir = train_cfg.checkpoint_dir
+    if ckpt_dir and ckpt.latest_step(ckpt_dir) is not None:
+        target = {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "best_params": jax.device_get(state.params),
+        }
+        if has_bs:
+            target["batch_stats"] = jax.device_get(state.batch_stats)
+            target["best_stats"] = jax.device_get(state.batch_stats)
+        restored = ckpt.restore_checkpoint(ckpt_dir, target=target)
+        extra = restored["extra"]
+        state = state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            batch_stats=restored.get("batch_stats", state.batch_stats),
+            step=jnp.int32(extra["global_step"]),
+        )
+        best_params = restored["best_params"]
+        best_stats = restored.get("best_stats", best_stats)
+        best_val = extra["best_val"]
+        patience = extra["patience"]
+        history = {"loss": list(extra["loss"]), "val_loss": list(extra["val_loss"])}
+        start_epoch = restored["step"] + 1
+        if verbose:
+            print(f"resumed from {ckpt_dir} at epoch {restored['step']}")
+
+    def _save(epoch: int) -> None:
+        extra_arrays = {"best_params": best_params}
+        if has_bs:
+            extra_arrays["best_stats"] = best_stats
+        ckpt.save_checkpoint(
+            ckpt_dir, epoch, state.params,
+            batch_stats=state.batch_stats if has_bs else None,
+            opt_state=state.opt_state,
+            normalizer=normalizer,
+            extra={
+                "global_step": int(jax.device_get(state.step)),
+                "best_val": best_val,
+                "patience": patience,
+                "loss": history["loss"],
+                "val_loss": history["val_loss"],
+            },
+            extra_arrays=extra_arrays,
+        )
+
+    for epoch in range(start_epoch, train_cfg.epochs + 1):
         epochs_run = epoch
         t0 = time.time()
         losses, ns = [], []
@@ -272,9 +321,16 @@ def fit(
             patience += 1
             if patience > train_cfg.early_stopping_patience:
                 stopped_early = True
-                if verbose:
-                    print(f"Early stopping at epoch {epoch} (best val_loss {best_val:.6f})")
-                break
+
+        if ckpt_dir and train_cfg.checkpoint_every and (
+            epoch % train_cfg.checkpoint_every == 0 or stopped_early
+        ):
+            _save(epoch)
+
+        if stopped_early:
+            if verbose:
+                print(f"Early stopping at epoch {epoch} (best val_loss {best_val:.6f})")
+            break
 
     return FitResult(
         params=best_params,

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Ionic-liquid screening sweep: grid of cation×anion×T candidates →
+top-k lowest-viscosity pairs (BASELINE config 5).
+
+Loads a trained viscosity checkpoint and sweeps either a provided
+candidate CSV (columns cation,anion,T) or the synthetic template grid.
+"""
+
+import argparse
+import csv
+import itertools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vocab", default="data/vocab.pkl")
+    ap.add_argument("--checkpoint", default="results/viscosity/checkpoints")
+    ap.add_argument("--candidates", help="CSV with cation,anion,T columns")
+    ap.add_argument("--temperature", type=float, default=298.15)
+    ap.add_argument("--top-k", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--out", default="results/screen_top.csv")
+    args = ap.parse_args()
+
+    from ionic_mpnn_tpu.config import viscosity_config
+    from ionic_mpnn_tpu.data import Vocab
+    from ionic_mpnn_tpu.data.loader import BatchPlan
+    from ionic_mpnn_tpu.data.synthetic import ANION_SMILES, CATION_TEMPLATES
+    from ionic_mpnn_tpu.inference import ScreeningEngine
+    from ionic_mpnn_tpu.models import ViscosityModel
+    from ionic_mpnn_tpu.training import restore_checkpoint
+
+    vocab = Vocab.load(args.vocab)
+    restored = restore_checkpoint(args.checkpoint)
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
+    model = ViscosityModel(cfg)
+
+    if args.candidates:
+        def candidates():
+            with open(args.candidates) as f:
+                for row in csv.DictReader(f):
+                    yield row["cation"], row["anion"], float(row.get("T", args.temperature))
+    else:
+        cations = []
+        for kind, fn in CATION_TEMPLATES:
+            for n1 in range(1, 13):
+                cations.append(fn(n1, 1) if kind == "im" else fn(n1))
+        anions = [s for _, s, _ in ANION_SMILES]
+
+        def candidates():
+            for c, a in itertools.product(cations, anions):
+                yield c, a, args.temperature
+
+    # generous static capacities for arbitrary candidates
+    plan = BatchPlan(
+        batch_size=args.batch_size,
+        node_cap=args.batch_size * 96,
+        edge_cap=args.batch_size * 256,
+        target_key="log_eta",
+        with_temperature=True,
+    )
+    engine = ScreeningEngine(model, restored["params"], vocab, plan,
+                             normalizer=restored.get("normalizer"))
+
+    t0 = time.time()
+    results = list(engine.screen(candidates(), top_k=args.top_k, minimize=True))
+    dt = time.time() - t0
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["rank", "cation", "anion", "T", "pred_log10_eta"])
+        for i, r in enumerate(results, 1):
+            w.writerow([i, r.cation, r.anion, f"{r.temperature:.2f}", f"{r.prediction:.4f}"])
+    print(f"screened in {dt:.1f}s → top-{args.top_k} at {out}")
+    for r in results[:5]:
+        print(f"  {r.prediction:8.4f}  {r.cation}  ·  {r.anion}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

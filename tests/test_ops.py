@@ -14,6 +14,7 @@ from ionic_mpnn_tpu.ops import (
     gated_update,
     graph_sum_pool,
     message_pass_aggregate,
+    message_pass_aggregate_typed,
     parity_edge_mask,
 )
 from ionic_mpnn_tpu.ops.dense_reference import (
@@ -197,6 +198,29 @@ def test_graph_sum_pool_matches_dense(setup):
     np.testing.assert_allclose(
         np.asarray(pooled_packed), np.asarray(pooled_dense), rtol=1e-4, atol=1e-4
     )
+
+
+def test_typed_aggregation_matches_gather(setup):
+    """Type-bucketed MXU formulation == gather formulation (both mask styles)."""
+    packed = pack_graphs(setup["graphs"], node_cap=64, edge_cap=256, duplicate_edges=True)
+    h = jnp.array(setup["atom_table"][packed.atom_ids])
+    m_table = bond_type_matrices(jnp.array(setup["bond_table"]), jnp.array(setup["W"]))
+    for mask in (
+        jnp.array(packed.edge_mask),
+        parity_edge_mask(
+            jnp.array(packed.src), jnp.array(packed.dst),
+            jnp.array(packed.node_local), jnp.array(packed.edge_mask),
+        ),
+    ):
+        ref = message_pass_aggregate(
+            h, jnp.array(packed.bond_ids), jnp.array(packed.src),
+            jnp.array(packed.dst), m_table, mask,
+        )
+        typed = message_pass_aggregate_typed(
+            h, jnp.array(packed.bond_ids), jnp.array(packed.src),
+            jnp.array(packed.dst), m_table, mask,
+        )
+        np.testing.assert_allclose(np.asarray(typed), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
 def test_aggregate_is_deterministic_and_jittable(setup):
