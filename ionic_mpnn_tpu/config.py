@@ -31,6 +31,7 @@ class ModelConfig:
     parity_mode: bool = False  # reproduce the reference's atom-0 masking quirk
     compute_dtype: str = "float32"  # "bfloat16" for TPU throughput configs
     message_impl: str = "gather"  # "gather" | "typed" (MXU type-bucketed)
+    scatter_impl: str = "xla"  # "xla" | "pallas" (sorted-scatter TPU kernel)
     # VFT head constants (models/layers.py:10-42)
     vft_b_clip: Tuple[float, float] = (0.0, 20.0)
     vft_c_clip: Tuple[float, float] = (0.1, 50.0)

@@ -167,11 +167,14 @@ def pack_graphs(
     edge_mask[:E] = True
 
     if sort_edges_by_dst and E:
-        # Stable sort over real edges only; pads stay at the tail.
-        order = np.argsort(dst[:E], kind="stable")
-        src[:E] = src[:E][order]
-        dst[:E] = dst[:E][order]
-        bond_ids[:E] = bond_ids[:E][order]
+        # Stable sort over the FULL capacity (pads included, mask permuted)
+        # so dst is globally sorted — the Pallas sorted-scatter kernel's
+        # window pointers rely on this.
+        order = np.argsort(dst, kind="stable")
+        src = src[order]
+        dst = dst[order]
+        bond_ids = bond_ids[order]
+        edge_mask = edge_mask[order]
 
     return PackedGraphs(
         atom_ids=atom_ids,

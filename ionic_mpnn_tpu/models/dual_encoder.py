@@ -63,6 +63,7 @@ class IonEncoder(nn.Module):
                 bond_dim=cfg.bond_dim,
                 compute_dtype=dtype,
                 impl=cfg.message_impl,
+                scatter=cfg.scatter_impl,
                 name=f"bmm_{step}",
             )(h, bond_table, graphs.bond_ids, graphs.src, graphs.dst, edge_mask)
             h = GatedUpdate(atom_dim=cfg.atom_dim, name=f"gru_{step}")(

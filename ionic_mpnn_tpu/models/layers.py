@@ -55,6 +55,7 @@ class BondMatrixMessage(nn.Module):
     bond_dim: int
     compute_dtype: jnp.dtype = jnp.float32
     impl: str = "gather"
+    scatter: str = "xla"  # "xla" | "pallas" (sorted-scatter kernel)
 
     @nn.compact
     def __call__(
@@ -74,9 +75,11 @@ class BondMatrixMessage(nn.Module):
         m_table = bond_type_matrices(
             bond_table.astype(self.compute_dtype), w.astype(self.compute_dtype)
         )
-        fn = message_pass_aggregate_typed if self.impl == "typed" else message_pass_aggregate
-        return fn(
-            node_states.astype(self.compute_dtype), bond_ids, src, dst, m_table, edge_mask
+        h = node_states.astype(self.compute_dtype)
+        if self.impl == "typed":
+            return message_pass_aggregate_typed(h, bond_ids, src, dst, m_table, edge_mask)
+        return message_pass_aggregate(
+            h, bond_ids, src, dst, m_table, edge_mask, scatter=self.scatter
         )
 
 

@@ -95,19 +95,24 @@ int pack_graphs(
     node_offset += n;
   }
 
-  if (sort_by_dst && e_count > 1) {
-    std::vector<int32_t> order(e_count);
+  if (sort_by_dst && edge_cap > 1) {
+    // Sort the FULL capacity (pads included; mask permuted) so dst is
+    // globally sorted — required by the Pallas sorted-scatter kernel.
+    std::vector<int32_t> order(edge_cap);
     std::iota(order.begin(), order.end(), 0);
     std::stable_sort(order.begin(), order.end(),
                      [&](int32_t a, int32_t b) { return dst_out[a] < dst_out[b]; });
-    std::vector<int32_t> tmp(e_count);
+    std::vector<int32_t> tmp(edge_cap);
     auto permute = [&](int32_t* arr) {
-      for (int64_t i = 0; i < e_count; ++i) tmp[i] = arr[order[i]];
-      std::memcpy(arr, tmp.data(), sizeof(int32_t) * e_count);
+      for (int64_t i = 0; i < edge_cap; ++i) tmp[i] = arr[order[i]];
+      std::memcpy(arr, tmp.data(), sizeof(int32_t) * edge_cap);
     };
     permute(src_out);
     permute(dst_out);
     permute(bond_ids_out);
+    std::vector<uint8_t> tmpm(edge_cap);
+    for (int64_t i = 0; i < edge_cap; ++i) tmpm[i] = edge_mask_out[order[i]];
+    std::memcpy(edge_mask_out, tmpm.data(), edge_cap);
   }
   return PACK_OK;
 }

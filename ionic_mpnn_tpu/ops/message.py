@@ -134,13 +134,18 @@ def message_pass_aggregate(
     node_states: jnp.ndarray,  # (N, D)
     bond_ids: jnp.ndarray,  # (E,)
     src: jnp.ndarray,  # (E,)
-    dst: jnp.ndarray,  # (E,) sorted
+    dst: jnp.ndarray,  # (E,) sorted (globally, pads included)
     m_table: jnp.ndarray,  # (V, D, D)
     edge_mask: jnp.ndarray,  # (E,) bool (already parity-adjusted if needed)
+    scatter: str = "xla",  # "xla" | "pallas"
 ) -> jnp.ndarray:
     """Fused message + aggregate: returns per-node summed messages (N, D)."""
     messages = edge_messages_from_table(node_states, bond_ids, src, m_table)
     messages = messages * edge_mask[:, None].astype(messages.dtype)
+    if scatter == "pallas":
+        from .pallas.segment_sum import segment_sum_vjp
+
+        return segment_sum_vjp(messages, dst, node_states.shape[0])
     return jax.ops.segment_sum(
         messages, dst, num_segments=node_states.shape[0], indices_are_sorted=True
     )

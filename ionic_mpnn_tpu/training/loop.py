@@ -93,6 +93,7 @@ def make_train_step(
     train_cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
     has_batch_stats: bool = False,
+    jit_compile: bool = True,
 ) -> Callable[[TrainState, IonPairBatch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     loss_kind, delta, l2 = train_cfg.loss, train_cfg.huber_delta, model_cfg.fp_l2
 
@@ -130,6 +131,8 @@ def make_train_step(
         )
         return new_state, {"loss": loss, "data_loss": data_loss}
 
+    if not jit_compile:
+        return step
     return jax.jit(step, donate_argnums=(0,))
 
 
