@@ -14,9 +14,11 @@ import sys
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--batch-size", type=int, default=2048)
     parser.add_argument("--num-steps", type=int, default=4)
     parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--inner", type=int, default=1,
+                        help="train steps folded into one jit call (lax.scan)")
     parser.add_argument("--no-baseline", action="store_true")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--message-impl", default="gather", choices=["gather", "typed"])
@@ -31,6 +33,7 @@ def main() -> int:
         with_baseline=not args.no_baseline,
         compute_dtype=args.dtype,
         message_impl=args.message_impl,
+        inner=args.inner,
     )
     print(json.dumps(result))
     return 0

@@ -85,7 +85,7 @@ def bench_packed_train_step(
     warmup: int = 5,
     compute_dtype: str = "float32",
     message_impl: str = "gather",
-    inner: int = 10,
+    inner: int = 1,
 ) -> BenchResult:
     cfg = viscosity_config(
         vocab.atom_vocab_size, vocab.bond_vocab_size,
@@ -109,14 +109,20 @@ def bench_packed_train_step(
 
     # Fold `inner` train steps into one jitted lax.scan so host dispatch
     # (which can dominate through remote tunnels) amortizes away and the
-    # measurement reflects device throughput.
+    # measurement reflects device throughput. inner=1 keeps the plain step
+    # (fastest to compile).
     inner_step = make_train_step(model, cfg, tcfg, optimizer, jit_compile=False)
-    def multi(state, batch):
-        def body(s, _):
-            s, m = inner_step(s, batch)
-            return s, m["loss"]
-        state, losses = jax.lax.scan(body, state, None, length=inner)
-        return state, losses[-1]
+    if inner == 1:
+        def multi(state, batch):
+            state, m = inner_step(state, batch)
+            return state, m["loss"]
+    else:
+        def multi(state, batch):
+            def body(s, _):
+                s, m = inner_step(s, batch)
+                return s, m["loss"]
+            state, losses = jax.lax.scan(body, state, None, length=inner)
+            return state, losses[-1]
 
     multi_fn = jax.jit(multi, donate_argnums=(0,))
 
@@ -217,7 +223,7 @@ def run_benchmark(
     with_baseline: bool = True,
     compute_dtype: str = "float32",
     message_impl: str = "gather",
-    inner: int = 10,
+    inner: int = 1,
 ) -> Dict[str, Any]:
     records, vocab = make_bench_dataset(max(batch_size, 512))
     packed = bench_packed_train_step(

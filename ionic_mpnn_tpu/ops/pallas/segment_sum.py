@@ -20,6 +20,11 @@ accumulation:
 The backward pass of a segment-sum is a plain gather, so the custom VJP
 is one ``jnp.take`` — XLA's gather on TPU is already DMA-efficient.
 
+Measured (TPU v5e, fp32, D=32): XLA's sorted scatter-add is competitive
+or faster (0.89× at E=32k/N=16k, 0.48× at E=131k/N=65k vs this kernel),
+so the framework default stays ``scatter_impl="xla"``; the kernel remains
+available behind the flag and as the base for future fused-step kernels.
+
 Capacity contract: no window's edge count may exceed
 ``max_tiles_per_window * T``. For packed molecular graphs (degree ≤ ~6)
 the default bound is generous; :func:`window_ptr` verifies it on the
@@ -87,10 +92,13 @@ def _kernel(ptr_ref, dst_ref, msg_ref, out_ref, *, window, tile, num_edges):
         onehot = jnp.where(
             valid[:, None] & (col_ids == col[:, None]), 1.0, 0.0
         ).astype(msg_ref.dtype)
-        # (T, W) x (T, D) contracting T -> (W, D), no explicit transpose
+        # (T, W) x (T, D) contracting T -> (W, D), no explicit transpose.
+        # HIGHEST precision: the MXU's default bf16 passes would round the
+        # fp32 messages (one-hot entries are exact either way).
         out_ref[:] += jax.lax.dot_general(
             onehot, msg_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
 
