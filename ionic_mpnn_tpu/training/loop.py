@@ -191,8 +191,17 @@ def fit(
     init_variables: Optional[Any] = None,
     optimizer: Optional[optax.GradientTransformation] = None,
     verbose: bool = True,
+    mesh: Optional[Any] = None,
 ) -> FitResult:
-    """Train with early stopping; returns best-weight params + history."""
+    """Train with early stopping; returns best-weight params + history.
+
+    With ``mesh`` (a jax.sharding.Mesh with a populated ``data`` axis),
+    training steps run data-parallel via the shard_map step: per-epoch
+    batches are grouped ``n_devices`` at a time into stacked global
+    batches (short groups padded with empty zero-mask batches) and
+    gradients all-reduce over ICI. Evaluation stays single-device on the
+    replicated params.
+    """
     if train_cfg.normalize_y:
         y_train = np.asarray([r[plan.target_key] for r in train_records], np.float32)
         normalizer = Normalizer.fit(y_train, guard=train_cfg.normalize_guard)
@@ -224,7 +233,29 @@ def fit(
         rng=state_rng,
     )
 
-    train_step = make_train_step(model, model_cfg, train_cfg, optimizer, has_bs)
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(mesh.shape.get("data", 1))
+    if n_dev > 1:
+        from ..parallel.data_parallel import make_dp_train_step, shard_batch, stack_batches
+        from ..data.packing import pack_ion_pair_batch
+
+        dp_step = make_dp_train_step(
+            model, model_cfg, train_cfg, optimizer, mesh, has_batch_stats=has_bs
+        )
+        empty_batch = pack_ion_pair_batch(
+            [], batch_size=plan.batch_size, node_cap=plan.node_cap,
+            edge_cap=plan.edge_cap, target_key=plan.target_key,
+            with_temperature=plan.with_temperature,
+            duplicate_edges=plan.duplicate_edges,
+        )
+
+        def train_step(state, group):
+            group = list(group) + [empty_batch] * (n_dev - len(group))
+            stacked = shard_batch(stack_batches(group), mesh)
+            return dp_step(state, stacked)
+    else:
+        train_step = make_train_step(model, model_cfg, train_cfg, optimizer, has_bs)
     eval_step = make_eval_step(model, model_cfg, train_cfg, has_bs)
 
     history: Dict[str, List[float]] = {"loss": [], "val_loss": []}
@@ -290,11 +321,28 @@ def fit(
         epochs_run = epoch
         t0 = time.time()
         losses, ns = [], []
-        for batch in iter_batches(train_records, plan, shuffle=True,
-                                  seed=train_cfg.seed + epoch):
-            state, m = train_step(state, batch)
-            losses.append(m["loss"])
-            ns.append(float(np.asarray(batch.sample_mask).sum()))
+        if n_dev > 1:
+            group: List[Any] = []
+            for batch in iter_batches(train_records, plan, shuffle=True,
+                                      seed=train_cfg.seed + epoch):
+                group.append(batch)
+                if len(group) == n_dev:
+                    n_real = sum(float(np.asarray(b.sample_mask).sum()) for b in group)
+                    state, m = train_step(state, group)
+                    losses.append(m["loss"])
+                    ns.append(n_real)
+                    group = []
+            if group:
+                n_real = sum(float(np.asarray(b.sample_mask).sum()) for b in group)
+                state, m = train_step(state, group)
+                losses.append(m["loss"])
+                ns.append(n_real)
+        else:
+            for batch in iter_batches(train_records, plan, shuffle=True,
+                                      seed=train_cfg.seed + epoch):
+                state, m = train_step(state, batch)
+                losses.append(m["loss"])
+                ns.append(float(np.asarray(batch.sample_mask).sum()))
         w = np.asarray(ns)
         train_loss = float(np.average(np.asarray(jax.device_get(losses)), weights=w))
 
