@@ -12,7 +12,15 @@ import dataclasses
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
-__all__ = ["ModelConfig", "TrainConfig", "MeshConfig", "viscosity_config", "melting_point_config"]
+__all__ = [
+    "ModelConfig",
+    "TrainConfig",
+    "MeshConfig",
+    "viscosity_config",
+    "melting_point_config",
+    "model_config_to_dict",
+    "model_config_from_dict",
+]
 
 
 @dataclass(frozen=True)
@@ -68,6 +76,23 @@ def melting_point_config(atom_vocab_size: int, bond_vocab_size: int, atom_dim: i
         fp_l2=1e-5,
         **kw,
     )
+
+
+def model_config_to_dict(cfg: ModelConfig) -> dict:
+    """JSON-safe dict for persisting alongside checkpoints."""
+    d = dataclasses.asdict(cfg)
+    for k, v in d.items():
+        if isinstance(v, tuple):
+            d[k] = list(v)
+    return d
+
+
+def model_config_from_dict(d: dict) -> ModelConfig:
+    kw = dict(d)
+    for k in ("vft_b_clip", "vft_c_clip", "transfer_dims"):
+        if k in kw and isinstance(kw[k], list):
+            kw[k] = tuple(kw[k])
+    return ModelConfig(**kw)
 
 
 @dataclass(frozen=True)

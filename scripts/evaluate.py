@@ -16,7 +16,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def _eval_task(name, model, records, plan, ckpt_dir, out_dir, target_key, unit=""):
+def _eval_task(name, model_cls, records, plan, ckpt_dir, out_dir, target_key, unit=""):
+    from ionic_mpnn_tpu.config import model_config_from_dict
     from ionic_mpnn_tpu.training import (
         evaluate_splits, predict, random_split, restore_checkpoint,
     )
@@ -24,6 +25,8 @@ def _eval_task(name, model, records, plan, ckpt_dir, out_dir, target_key, unit="
     from ionic_mpnn_tpu.utils import plot_loss, plot_parity
 
     restored = restore_checkpoint(ckpt_dir)
+    # rebuild the exact trained architecture from the persisted config
+    model = model_cls(model_config_from_dict(restored["extra"]["model_config"]))
     params = restored.get("best_params", restored["params"])
     batch_stats = restored.get("best_stats", restored.get("batch_stats"))
     normalizer = restored.get("normalizer") or Normalizer.identity()
@@ -76,33 +79,29 @@ def main() -> int:
     if vis_ckpt.exists():
         any_found = True
         records = load_pickle(data_dir / "viscosity_id_data.pkl")
-        cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
         idx_train, _, _ = random_split(len(records))
         plan = plan_capacities([records[i] for i in idx_train], batch_size=32)
-        _eval_task("viscosity", ViscosityModel(cfg), records, plan, vis_ckpt, out_dir,
+        _eval_task("viscosity", ViscosityModel, records, plan, vis_ckpt, out_dir,
                    "log_eta", " log10(cP)")
 
     mp_ckpt = results / "melting_point/checkpoints"
     if mp_ckpt.exists():
         any_found = True
         records = load_pickle(data_dir / "mp_id_data.pkl")
-        cfg = melting_point_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
         idx_train, _, _ = random_split(len(records))
         plan = plan_capacities([records[i] for i in idx_train], batch_size=32,
                                with_temperature=False, target_key="mp")
-        _eval_task("melting_point", MeltingPointModel(cfg), records, plan, mp_ckpt,
+        _eval_task("melting_point", MeltingPointModel, records, plan, mp_ckpt,
                    out_dir, "mp", " K")
 
     tr_ckpt = results / "transfer/checkpoints"
     if tr_ckpt.exists():
         any_found = True
         records = load_pickle(data_dir / "mp_id_data.pkl")
-        cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size).replace(
-            head="transfer")
         idx_train, _, _ = random_split(len(records))
         plan = plan_capacities([records[i] for i in idx_train], batch_size=32,
                                with_temperature=False, target_key="mp")
-        _eval_task("transfer", TransferMPModel(cfg), records, plan, tr_ckpt,
+        _eval_task("transfer", TransferMPModel, records, plan, tr_ckpt,
                    out_dir, "mp", " K")
 
     if not any_found:

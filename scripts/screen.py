@@ -37,7 +37,12 @@ def main() -> int:
 
     vocab = Vocab.load(args.vocab)
     restored = restore_checkpoint(args.checkpoint)
-    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
+    if "model_config" in restored.get("extra", {}):
+        from ionic_mpnn_tpu.config import model_config_from_dict
+
+        cfg = model_config_from_dict(restored["extra"]["model_config"])
+    else:
+        cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
     model = ViscosityModel(cfg)
 
     if args.candidates:

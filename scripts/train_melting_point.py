@@ -71,8 +71,11 @@ def main() -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
     with open(out_dir / "history_mp.pkl", "wb") as f:
         pickle.dump(result.history, f)
+    from ionic_mpnn_tpu.config import model_config_to_dict
+
     save_checkpoint(out_dir / "checkpoints", result.epochs_run, result.params,
-                    normalizer=result.normalizer)
+                    normalizer=result.normalizer,
+                    extra={"model_config": model_config_to_dict(cfg)})
     result.normalizer.save(out_dir / "mp_norm_params.json")
     plot_loss(result.history, out_dir / "loss_mp.png", "Training curve (melting point)")
 

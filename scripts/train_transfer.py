@@ -56,9 +56,14 @@ def main() -> int:
     test = [records[i] for i in idx_test]
     print(f"split: train={len(train)} dev={len(dev)} test={len(test)}")
 
-    cfg = viscosity_config(
-        vocab.atom_vocab_size, vocab.bond_vocab_size, num_steps=args.num_steps
-    )
+    if "model_config" in restored.get("extra", {}):
+        from ionic_mpnn_tpu.config import model_config_from_dict
+
+        cfg = model_config_from_dict(restored["extra"]["model_config"])
+    else:
+        cfg = viscosity_config(
+            vocab.atom_vocab_size, vocab.bond_vocab_size, num_steps=args.num_steps
+        )
     plan = plan_capacities(train, batch_size=32, with_temperature=False, target_key="mp")
 
     result = train_transfer(
@@ -71,8 +76,11 @@ def main() -> int:
     out_dir.mkdir(parents=True, exist_ok=True)
     with open(out_dir / "history_transfer.pkl", "wb") as f:
         pickle.dump(result.history, f)
+    from ionic_mpnn_tpu.config import model_config_to_dict
+
     save_checkpoint(out_dir / "checkpoints", len(result.history["loss"]), result.params,
-                    batch_stats=result.batch_stats, normalizer=result.normalizer)
+                    batch_stats=result.batch_stats, normalizer=result.normalizer,
+                    extra={"model_config": model_config_to_dict(cfg)})
     result.normalizer.save(out_dir / "scaler.json")
     plot_loss(result.history, out_dir / "loss_transfer.png", "Transfer training (both stages)")
 
