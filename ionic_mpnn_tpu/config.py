@@ -9,7 +9,7 @@ in one dataclass tree (SURVEY.md §5.6's prescription).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 __all__ = [

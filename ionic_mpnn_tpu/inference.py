@@ -18,13 +18,11 @@ from __future__ import annotations
 
 import heapq
 from dataclasses import dataclass
-from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterable, Iterator, List, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from .config import ModelConfig
 from .data import Vocab, encode_graph, smiles_to_graph
 from .data.loader import BatchPlan
 from .data.packing import pack_ion_pair_batch

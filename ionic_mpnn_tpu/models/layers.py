@@ -17,8 +17,6 @@ uniform(±0.05) embeddings) so training dynamics are comparable.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -32,8 +32,6 @@ The parity quirk (edges touching each molecule's atom 0 silently dropped,
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -34,7 +34,7 @@ host and the caller falls back to ``jax.ops.segment_sum`` if violated.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ counts so padded batch slots never bias the global loss.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import jax
@@ -22,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import ModelConfig, TrainConfig
-from ..data.packing import IonPairBatch, PackedGraphs
+from ..data.packing import IonPairBatch
 from ..training.loop import TrainState, _data_loss, _l2_penalty
 
 __all__ = ["stack_batches", "shard_batch", "make_dp_train_step"]

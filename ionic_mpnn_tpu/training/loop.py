@@ -20,7 +20,7 @@ is one jitted function, donated, and works unchanged under pjit/shard_map
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax

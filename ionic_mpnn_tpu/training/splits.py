@@ -10,7 +10,7 @@ across train/dev at different temperatures (the repo's own caveat,
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 from sklearn.model_selection import train_test_split

@@ -19,7 +19,7 @@ Reference: ``train_melting_point_transfer.py:112-287`` —
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import jax
 
