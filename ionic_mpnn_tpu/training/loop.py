@@ -19,6 +19,7 @@ is one jitted function, donated, and works unchanged under pjit/shard_map
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
@@ -153,6 +154,14 @@ def make_eval_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
     return jax.jit(step)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jit_predict(model, variables, batch):
+    """Module-level jit keyed on the (hashable) flax module: repeated
+    predict/evaluate calls reuse one compilation per batch shape instead
+    of re-tracing a fresh closure every call."""
+    return model.apply(variables, batch, deterministic=True)["pred"]
+
+
 def predict(
     model,
     params: Any,
@@ -164,10 +173,9 @@ def predict(
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    apply = jax.jit(lambda b: model.apply(variables, b, deterministic=True)["pred"])
     preds: List[np.ndarray] = []
     for batch in iter_batches(records, plan, shuffle=False):
-        p = np.asarray(apply(batch))
+        p = np.asarray(_jit_predict(model, variables, batch))
         preds.append(p[np.asarray(batch.sample_mask) > 0])
     return np.concatenate(preds) if preds else np.zeros(0, np.float32)
 
