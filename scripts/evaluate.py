@@ -16,7 +16,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def _eval_task(name, model_cls, records, plan, ckpt_dir, out_dir, target_key, unit=""):
+def _eval_task(name, model_cls, records, plan, ckpt_dir, out_dir, target_key,
+               unit="", default_cfg=None):
     from ionic_mpnn_tpu.config import model_config_from_dict
     from ionic_mpnn_tpu.training import (
         evaluate_splits, predict, random_split, restore_checkpoint,
@@ -26,7 +27,14 @@ def _eval_task(name, model_cls, records, plan, ckpt_dir, out_dir, target_key, un
 
     restored = restore_checkpoint(ckpt_dir)
     # rebuild the exact trained architecture from the persisted config
-    model = model_cls(model_config_from_dict(restored["extra"]["model_config"]))
+    # (older checkpoints without it fall back to the task default)
+    if "model_config" in restored.get("extra", {}):
+        cfg = model_config_from_dict(restored["extra"]["model_config"])
+    elif default_cfg is not None:
+        cfg = default_cfg
+    else:
+        raise KeyError(f"checkpoint {ckpt_dir} has no model_config and no default given")
+    model = model_cls(cfg)
     params = restored.get("best_params", restored["params"])
     batch_stats = restored.get("best_stats", restored.get("batch_stats"))
     normalizer = restored.get("normalizer") or Normalizer.identity()
@@ -82,7 +90,9 @@ def main() -> int:
         idx_train, _, _ = random_split(len(records))
         plan = plan_capacities([records[i] for i in idx_train], batch_size=32)
         _eval_task("viscosity", ViscosityModel, records, plan, vis_ckpt, out_dir,
-                   "log_eta", " log10(cP)")
+                   "log_eta", " log10(cP)",
+                   default_cfg=viscosity_config(vocab.atom_vocab_size,
+                                                vocab.bond_vocab_size))
 
     mp_ckpt = results / "melting_point/checkpoints"
     if mp_ckpt.exists():
@@ -92,7 +102,9 @@ def main() -> int:
         plan = plan_capacities([records[i] for i in idx_train], batch_size=32,
                                with_temperature=False, target_key="mp")
         _eval_task("melting_point", MeltingPointModel, records, plan, mp_ckpt,
-                   out_dir, "mp", " K")
+                   out_dir, "mp", " K",
+                   default_cfg=melting_point_config(vocab.atom_vocab_size,
+                                                    vocab.bond_vocab_size))
 
     tr_ckpt = results / "transfer/checkpoints"
     if tr_ckpt.exists():
@@ -102,7 +114,10 @@ def main() -> int:
         plan = plan_capacities([records[i] for i in idx_train], batch_size=32,
                                with_temperature=False, target_key="mp")
         _eval_task("transfer", TransferMPModel, records, plan, tr_ckpt,
-                   out_dir, "mp", " K")
+                   out_dir, "mp", " K",
+                   default_cfg=viscosity_config(
+                       vocab.atom_vocab_size, vocab.bond_vocab_size
+                   ).replace(head="transfer"))
 
     if not any_found:
         print("no checkpoints found under", results)
