@@ -23,9 +23,10 @@ from typing import Any, Dict, Iterable, Iterator, List, Sequence, Tuple
 import jax
 import numpy as np
 
+from . import native
 from .data import Vocab, encode_graph, smiles_to_graph
 from .data.loader import BatchPlan
-from .data.packing import pack_ion_pair_batch
+from .data.packing import IonPairBatch, PackedGraphs, pack_ion_pair_batch
 
 __all__ = ["ScreeningEngine", "ScreenResult"]
 
@@ -69,8 +70,37 @@ class ScreeningEngine:
         g = self._graph_cache.get(smiles)
         if g is None:
             g = encode_graph(smiles_to_graph(smiles), self.vocab)
+            # pre-flattened columnar arrays for the native packer
+            g["_atoms"] = np.asarray(g["atom_ids"], np.int32)
+            g["_bonds"] = np.asarray(g["bond_ids"], np.int32)
+            g["_edges"] = np.asarray(g["edge_indices"], np.int32).reshape(-1, 2)
             self._graph_cache[smiles] = g
         return g
+
+    def _pack_native(self, graphs) -> PackedGraphs:
+        """Concatenate cached per-molecule arrays, pack with the C++ packer."""
+        atom_off = np.zeros(len(graphs) + 1, np.int64)
+        edge_off = np.zeros(len(graphs) + 1, np.int64)
+        np.cumsum([g["num_atoms"] for g in graphs], out=atom_off[1:])
+        np.cumsum([len(g["bond_ids"]) for g in graphs], out=edge_off[1:])
+        atoms = np.concatenate([g["_atoms"] for g in graphs])
+        bonds = np.concatenate([g["_bonds"] for g in graphs])
+        edges = (
+            np.concatenate([g["_edges"] for g in graphs])
+            if any(len(g["_edges"]) for g in graphs)
+            else np.zeros((0, 2), np.int32)
+        )
+        arrays = native.pack_graphs_native(
+            atoms, atom_off, bonds, edges, edge_off,
+            self.plan.node_cap, self.plan.edge_cap,
+            duplicate_edges=self.plan.duplicate_edges,
+        )
+        a, b, s, d, ng, nl, nm, em = arrays
+        return PackedGraphs(
+            atom_ids=a, bond_ids=b, src=s, dst=d, node_graph=ng,
+            node_local=nl, node_mask=nm, edge_mask=em,
+            n_graphs=self.plan.batch_size,
+        )
 
     def _record(self, cation: str, anion: str, t: float) -> Dict[str, Any]:
         return {
@@ -83,17 +113,35 @@ class ScreeningEngine:
 
     def predict_batch(self, candidates: Sequence[Tuple[str, str, float]]) -> np.ndarray:
         """Predict up to plan.batch_size candidates; returns (len,) floats."""
-        records = [self._record(c, a, t) for c, a, t in candidates]
-        batch = pack_ion_pair_batch(
-            records,
-            batch_size=self.plan.batch_size,
-            node_cap=self.plan.node_cap,
-            edge_cap=self.plan.edge_cap,
-            target_key=self.plan.target_key,
-            with_temperature=self.plan.with_temperature,
-            duplicate_edges=self.plan.duplicate_edges,
-        )
-        pred = np.asarray(self._apply(batch))[: len(records)]
+        n = len(candidates)
+        if native.native_available():
+            cat_graphs = [self._encode(c) for c, _, _ in candidates]
+            an_graphs = [self._encode(a) for _, a, _ in candidates]
+            B = self.plan.batch_size
+            temp = np.zeros((B, 1), np.float32)
+            mask = np.zeros(B, np.float32)
+            if self.plan.with_temperature:
+                temp[:n, 0] = [t for _, _, t in candidates]
+            mask[:n] = 1.0
+            batch = IonPairBatch(
+                cation=self._pack_native(cat_graphs),
+                anion=self._pack_native(an_graphs),
+                temperature=temp,
+                y=np.zeros(B, np.float32),
+                sample_mask=mask,
+            )
+        else:
+            records = [self._record(c, a, t) for c, a, t in candidates]
+            batch = pack_ion_pair_batch(
+                records,
+                batch_size=self.plan.batch_size,
+                node_cap=self.plan.node_cap,
+                edge_cap=self.plan.edge_cap,
+                target_key=self.plan.target_key,
+                with_temperature=self.plan.with_temperature,
+                duplicate_edges=self.plan.duplicate_edges,
+            )
+        pred = np.asarray(self._apply(batch))[:n]
         if self.normalizer is not None:
             pred = self.normalizer.inverse(pred)
         return pred
