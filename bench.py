@@ -14,7 +14,7 @@ import sys
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--batch-size", type=int, default=2048)
     parser.add_argument("--num-steps", type=int, default=4)
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--inner", type=int, default=1,
