@@ -5,10 +5,16 @@ Metric: message-edges/s on the flagship viscosity MPNN's full training
 step (fwd+bwd+Adam) with packed COO batching on one chip.
 ``vs_baseline`` = speedup over the reference design (dense padded
 batching + per-edge tensordot) with identical weights on the same chip.
+
+The baseline is measured in a fresh subprocess: on this backend, the
+second benchmark config within one process runs pathologically slow
+(measured ~200× — see CLAUDE.md), so every measurement must be
+first-in-process to be honest.
 """
 
 import argparse
 import json
+import subprocess
 import sys
 
 
@@ -22,19 +28,57 @@ def main() -> int:
     parser.add_argument("--no-baseline", action="store_true")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--message-impl", default="gather", choices=["gather", "typed"])
+    parser.add_argument("--dense-only", action="store_true",
+                        help="internal: measure only the dense reference baseline")
     args = parser.parse_args()
 
-    from ionic_mpnn_tpu.benchmarks import run_benchmark
-
-    result = run_benchmark(
-        batch_size=args.batch_size,
-        num_steps=args.num_steps,
-        iters=args.iters,
-        with_baseline=not args.no_baseline,
-        compute_dtype=args.dtype,
-        message_impl=args.message_impl,
-        inner=args.inner,
+    from ionic_mpnn_tpu.benchmarks import (
+        bench_dense_reference,
+        bench_packed_train_step,
+        make_bench_dataset,
     )
+
+    if args.dense_only:
+        records, vocab = make_bench_dataset(max(args.batch_size, 512))
+        dense = bench_dense_reference(
+            records, vocab, batch_size=min(args.batch_size, 256),
+            num_steps=args.num_steps,
+        )
+        print(json.dumps({"baseline_edges_per_s": round(dense.edges_per_s, 1)}))
+        return 0
+
+    records, vocab = make_bench_dataset(max(args.batch_size, 512))
+    packed = bench_packed_train_step(
+        records, vocab, batch_size=args.batch_size, num_steps=args.num_steps,
+        iters=args.iters, compute_dtype=args.dtype,
+        message_impl=args.message_impl, inner=args.inner,
+    )
+    result = {
+        "metric": "message_edges_per_s_fwd_bwd",
+        "value": round(packed.edges_per_s, 1),
+        "unit": "edges/s",
+        "steps_per_s": round(packed.steps_per_s, 3),
+        "molecules_per_s": round(packed.molecules_per_s, 1),
+        "batch_size": args.batch_size,
+        "num_steps": args.num_steps,
+        "vs_baseline": 1.0,
+    }
+
+    if not args.no_baseline:
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--dense-only",
+                 "--batch-size", str(args.batch_size),
+                 "--num-steps", str(args.num_steps)],
+                capture_output=True, text=True, timeout=1500,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            baseline = json.loads(line)["baseline_edges_per_s"]
+            result["baseline_edges_per_s"] = baseline
+            result["vs_baseline"] = round(packed.edges_per_s / baseline, 3)
+        except Exception as e:  # baseline failure shouldn't kill the headline
+            result["baseline_error"] = str(e)[:200]
+
     print(json.dumps(result))
     return 0
 
