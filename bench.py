@@ -28,6 +28,8 @@ def main() -> int:
     parser.add_argument("--no-baseline", action="store_true")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--message-impl", default="gather", choices=["gather", "typed"])
+    parser.add_argument("--model", default="viscosity", choices=["viscosity", "mp"],
+                        help="mp = melting-point config (bond_dim=1024)")
     parser.add_argument("--dense-only", action="store_true",
                         help="internal: measure only the dense reference baseline")
     args = parser.parse_args()
@@ -40,9 +42,13 @@ def main() -> int:
 
     if args.dense_only:
         records, vocab = make_bench_dataset(max(args.batch_size, 512))
+        visc = args.model == "viscosity"
         dense = bench_dense_reference(
-            records, vocab, batch_size=min(args.batch_size, 256),
+            records, vocab,
+            batch_size=min(args.batch_size, 256 if visc else 32),
             num_steps=args.num_steps,
+            iters=10 if visc else 3, warmup=3 if visc else 1,
+            model_kind=args.model,
         )
         print(json.dumps({"baseline_edges_per_s": round(dense.edges_per_s, 1)}))
         return 0
@@ -51,7 +57,7 @@ def main() -> int:
     packed = bench_packed_train_step(
         records, vocab, batch_size=args.batch_size, num_steps=args.num_steps,
         iters=args.iters, compute_dtype=args.dtype,
-        message_impl=args.message_impl, inner=args.inner,
+        message_impl=args.message_impl, inner=args.inner, model_kind=args.model,
     )
     result = {
         "metric": "message_edges_per_s_fwd_bwd",
@@ -61,6 +67,7 @@ def main() -> int:
         "molecules_per_s": round(packed.molecules_per_s, 1),
         "batch_size": args.batch_size,
         "num_steps": args.num_steps,
+        "model": args.model,
         "vs_baseline": 1.0,
     }
 
@@ -69,7 +76,8 @@ def main() -> int:
             proc = subprocess.run(
                 [sys.executable, __file__, "--dense-only",
                  "--batch-size", str(args.batch_size),
-                 "--num-steps", str(args.num_steps)],
+                 "--num-steps", str(args.num_steps),
+                 "--model", args.model],
                 capture_output=True, text=True, timeout=1500,
             )
             line = proc.stdout.strip().splitlines()[-1]

@@ -24,7 +24,7 @@ from ..ops.dense_reference import (
     dense_reduce,
 )
 
-__all__ = ["dense_viscosity_forward"]
+__all__ = ["dense_viscosity_forward", "dense_mp_forward"]
 
 
 def _dense_params(p: Any, name: str) -> Dict[str, jnp.ndarray]:
@@ -43,32 +43,7 @@ def dense_viscosity_forward(
     dense_inputs: Dict[str, jnp.ndarray],  # from pad_dense_batch x2 + temperature
 ) -> jnp.ndarray:
     """Evaluate the viscosity model on reference-style padded inputs."""
-    trunk = params["trunk"]
-    atom_table = trunk["atom_embed"]
-    bond_table = trunk["bond_embed"]
-
-    def encode(prefix: str, enc_name: str):
-        atom = dense_inputs[f"{prefix}_atom"]  # (B, N)
-        bond = dense_inputs[f"{prefix}_bond"]  # (B, E)
-        conn = dense_inputs[f"{prefix}_conn"]  # (B, E, 2)
-        enc = trunk[enc_name]
-        h = jnp.take(atom_table, atom, axis=0)  # (B, N, D)
-        b = jnp.take(bond_table, bond, axis=0)  # (B, E, F)
-        num_atoms = atom.shape[1]
-        for step in range(cfg.num_steps):
-            w = enc[f"bmm_{step}"]["bond_transform"]
-            m = dense_bond_matrix_message(h, b, conn, w)
-            agg = dense_reduce(m, conn[..., 1], num_atoms)
-            h = dense_gated_update(h, agg, _dense_params(enc, f"gru_{step}"))
-        pooled = dense_global_sum_pool(h, atom)
-        fp = jax.nn.relu(pooled @ enc["fp_dense"]["kernel"] + enc["fp_dense"]["bias"])
-        return fp
-
-    fp_cat = encode("cat", "cat_encoder")
-    fp_an = encode("an", "an_encoder")
-    cat_proj = jax.nn.relu(fp_cat @ trunk["cat_proj"]["kernel"] + trunk["cat_proj"]["bias"])
-    an_proj = jax.nn.relu(fp_an @ trunk["an_proj"]["kernel"] + trunk["an_proj"]["bias"])
-    mixed = cat_proj + an_proj
+    mixed = _dense_trunk_mixed(params, cfg, dense_inputs)
 
     head = params["vft_head"]["visc_params"]
     raw = mixed @ head["kernel"] + head["bias"]
@@ -77,3 +52,47 @@ def dense_viscosity_forward(
     c = jnp.clip(jax.nn.softplus(raw[:, 2:3]), *cfg.vft_c_clip)
     t_scaled = dense_inputs["temperature"] / cfg.t_scale
     return (a + b_ / (t_scaled + c + cfg.vft_eps))[:, 0]
+
+
+def _dense_trunk_mixed(params, cfg, dense_inputs):
+    trunk = params["trunk"]
+    atom_table = trunk["atom_embed"]
+    bond_table = trunk["bond_embed"]
+
+    def encode(prefix: str, enc_name: str):
+        atom = dense_inputs[f"{prefix}_atom"]
+        bond = dense_inputs[f"{prefix}_bond"]
+        conn = dense_inputs[f"{prefix}_conn"]
+        enc = trunk[enc_name]
+        h = jnp.take(atom_table, atom, axis=0)
+        b = jnp.take(bond_table, bond, axis=0)
+        num_atoms = atom.shape[1]
+        for step in range(cfg.num_steps):
+            w = enc[f"bmm_{step}"]["bond_transform"]
+            m = dense_bond_matrix_message(h, b, conn, w)
+            agg = dense_reduce(m, conn[..., 1], num_atoms)
+            h = dense_gated_update(h, agg, _dense_params(enc, f"gru_{step}"))
+        pooled = dense_global_sum_pool(h, atom)
+        return jax.nn.relu(pooled @ enc["fp_dense"]["kernel"] + enc["fp_dense"]["bias"])
+
+    fp_cat = encode("cat", "cat_encoder")
+    fp_an = encode("an", "an_encoder")
+    cat_proj = jax.nn.relu(fp_cat @ trunk["cat_proj"]["kernel"] + trunk["cat_proj"]["bias"])
+    an_proj = jax.nn.relu(fp_an @ trunk["an_proj"]["kernel"] + trunk["an_proj"]["bias"])
+    return cat_proj + an_proj
+
+
+def dense_mp_forward(
+    params: Any,  # the packed MeltingPointModel's params["params"] tree
+    cfg: ModelConfig,
+    dense_inputs: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """Reference-style dense melting-point forward: the (B, E, 1024) bond
+    states hit the full (1024, 32, 32) per-edge tensordot every step
+    (``train_melting_point.py:145-164``) — the configuration where the
+    dense design is costliest."""
+    mixed = _dense_trunk_mixed(params, cfg, dense_inputs)
+    x = jax.nn.relu(
+        mixed @ params["head_dense"]["kernel"] + params["head_dense"]["bias"]
+    )
+    return (x @ params["head_out"]["kernel"] + params["head_out"]["bias"])[:, 0]

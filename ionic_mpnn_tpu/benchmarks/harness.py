@@ -21,14 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import TrainConfig, viscosity_config
+from ..config import TrainConfig, melting_point_config, viscosity_config
 from ..data import build_vocab, encode_dataset, iter_batches, plan_capacities, smiles_to_graph
 from ..data.packing import pad_dense_batch
 from ..data.synthetic import ANION_SMILES, CATION_TEMPLATES
-from ..models import ViscosityModel
+from ..models import MeltingPointModel, ViscosityModel
 from ..training.loop import TrainState, make_train_step
 from ..training.optim import make_optimizer
-from .dense_model import dense_viscosity_forward
+from .dense_model import dense_mp_forward, dense_viscosity_forward
 
 __all__ = ["make_bench_dataset", "bench_packed_train_step", "bench_dense_reference", "run_benchmark"]
 
@@ -86,17 +86,25 @@ def bench_packed_train_step(
     compute_dtype: str = "float32",
     message_impl: str = "gather",
     inner: int = 1,
+    model_kind: str = "viscosity",
 ) -> BenchResult:
-    cfg = viscosity_config(
-        vocab.atom_vocab_size, vocab.bond_vocab_size,
-        num_steps=num_steps, compute_dtype=compute_dtype, message_impl=message_impl,
-    )
+    if model_kind == "mp":
+        cfg = melting_point_config(
+            vocab.atom_vocab_size, vocab.bond_vocab_size,
+            num_steps=num_steps, compute_dtype=compute_dtype,
+            message_impl=message_impl,
+        )
+    else:
+        cfg = viscosity_config(
+            vocab.atom_vocab_size, vocab.bond_vocab_size,
+            num_steps=num_steps, compute_dtype=compute_dtype, message_impl=message_impl,
+        )
     tcfg = TrainConfig()
     plan = plan_capacities(records, batch_size=batch_size)
     batch = next(iter_batches(records[:batch_size], plan))
     batch = jax.tree.map(jnp.asarray, batch)
 
-    model = ViscosityModel(cfg)
+    model = MeltingPointModel(cfg) if model_kind == "mp" else ViscosityModel(cfg)
     variables = model.init(jax.random.PRNGKey(0), batch)
     optimizer = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
     state = TrainState(
@@ -155,9 +163,15 @@ def bench_dense_reference(
     num_steps: int = 4,
     iters: int = 10,
     warmup: int = 3,
+    model_kind: str = "viscosity",
 ) -> BenchResult:
     """Reference-design baseline: dense padded batching + per-edge tensordot."""
-    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size, num_steps=num_steps)
+    if model_kind == "mp":
+        cfg = melting_point_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                                   num_steps=num_steps)
+    else:
+        cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                               num_steps=num_steps)
     subset = records[:batch_size]
     max_atoms = max(
         max(r["cation"]["num_atoms"] for r in subset),
@@ -183,11 +197,12 @@ def bench_dense_reference(
     # identical weights to the packed model
     plan = plan_capacities(subset, batch_size=batch_size)
     packed_batch = next(iter_batches(subset, plan))
-    model = ViscosityModel(cfg)
+    model = MeltingPointModel(cfg) if model_kind == "mp" else ViscosityModel(cfg)
     params = model.init(jax.random.PRNGKey(0), packed_batch)["params"]
+    dense_fwd = dense_mp_forward if model_kind == "mp" else dense_viscosity_forward
 
     def loss_fn(p):
-        pred = dense_viscosity_forward(p, cfg, dense_inputs)
+        pred = dense_fwd(p, cfg, dense_inputs)
         return jnp.mean((pred - y) ** 2)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
