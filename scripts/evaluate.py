@@ -87,8 +87,7 @@ def main() -> int:
     if vis_ckpt.exists():
         any_found = True
         records = load_pickle(data_dir / "viscosity_id_data.pkl")
-        idx_train, _, _ = random_split(len(records))
-        plan = plan_capacities([records[i] for i in idx_train], batch_size=32)
+        plan = plan_capacities(records, batch_size=32)
         _eval_task("viscosity", ViscosityModel, records, plan, vis_ckpt, out_dir,
                    "log_eta", " log10(cP)",
                    default_cfg=viscosity_config(vocab.atom_vocab_size,
@@ -98,8 +97,7 @@ def main() -> int:
     if mp_ckpt.exists():
         any_found = True
         records = load_pickle(data_dir / "mp_id_data.pkl")
-        idx_train, _, _ = random_split(len(records))
-        plan = plan_capacities([records[i] for i in idx_train], batch_size=32,
+        plan = plan_capacities(records, batch_size=32,
                                with_temperature=False, target_key="mp")
         _eval_task("melting_point", MeltingPointModel, records, plan, mp_ckpt,
                    out_dir, "mp", " K",
@@ -110,8 +108,7 @@ def main() -> int:
     if tr_ckpt.exists():
         any_found = True
         records = load_pickle(data_dir / "mp_id_data.pkl")
-        idx_train, _, _ = random_split(len(records))
-        plan = plan_capacities([records[i] for i in idx_train], batch_size=32,
+        plan = plan_capacities(records, batch_size=32,
                                with_temperature=False, target_key="mp")
         _eval_task("transfer", TransferMPModel, records, plan, tr_ckpt,
                    out_dir, "mp", " K",

@@ -61,7 +61,7 @@ def main() -> int:
         early_stopping_patience=args.patience, seed=args.seed,
         normalize_y=True, normalize_guard="or1",
     )
-    plan = plan_capacities(train, batch_size=tcfg.batch_size,
+    plan = plan_capacities(records, batch_size=tcfg.batch_size,
                            with_temperature=False, target_key="mp",
                            duplicate_edges=args.parity_mode)
     model = MeltingPointModel(cfg)

@@ -64,7 +64,7 @@ def main() -> int:
         cfg = viscosity_config(
             vocab.atom_vocab_size, vocab.bond_vocab_size, num_steps=args.num_steps
         )
-    plan = plan_capacities(train, batch_size=32, with_temperature=False, target_key="mp")
+    plan = plan_capacities(records, batch_size=32, with_temperature=False, target_key="mp")
 
     result = train_transfer(
         vis_params, cfg, train, dev, plan,

@@ -69,7 +69,8 @@ def main() -> int:
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         early_stopping_patience=args.patience, seed=args.seed,
     )
-    plan = plan_capacities(train, batch_size=tcfg.batch_size,
+    # capacities from ALL records so dev/test molecules can't overflow at eval
+    plan = plan_capacities(records, batch_size=tcfg.batch_size,
                            duplicate_edges=args.parity_mode)
     model = ViscosityModel(cfg)
     result = fit(model, cfg, tcfg, train, dev, plan)
