@@ -1,10 +1,9 @@
 """Benchmark harnesses (edges/s north-star metric)."""
 
-from .harness import bench_dense_reference, bench_packed_train_step, make_bench_dataset, run_benchmark
+from .harness import bench_dense_reference, bench_packed_train_step, make_bench_dataset
 
 __all__ = [
     "bench_dense_reference",
     "bench_packed_train_step",
     "make_bench_dataset",
-    "run_benchmark",
 ]

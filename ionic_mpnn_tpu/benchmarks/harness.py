@@ -30,7 +30,7 @@ from ..training.loop import TrainState, make_train_step
 from ..training.optim import make_optimizer
 from .dense_model import dense_mp_forward, dense_viscosity_forward
 
-__all__ = ["make_bench_dataset", "bench_packed_train_step", "bench_dense_reference", "run_benchmark"]
+__all__ = ["make_bench_dataset", "bench_packed_train_step", "bench_dense_reference"]
 
 
 def make_bench_dataset(n_records: int = 512, seed: int = 0):
@@ -229,37 +229,3 @@ def bench_dense_reference(
         message_edges_per_step=me,
         wall_s=dt,
     )
-
-
-def run_benchmark(
-    batch_size: int = 512,
-    num_steps: int = 4,
-    iters: int = 30,
-    with_baseline: bool = True,
-    compute_dtype: str = "float32",
-    message_impl: str = "gather",
-    inner: int = 1,
-) -> Dict[str, Any]:
-    records, vocab = make_bench_dataset(max(batch_size, 512))
-    packed = bench_packed_train_step(
-        records, vocab, batch_size=batch_size, num_steps=num_steps, iters=iters,
-        compute_dtype=compute_dtype, message_impl=message_impl, inner=inner,
-    )
-    out: Dict[str, Any] = {
-        "metric": "message_edges_per_s_fwd_bwd",
-        "value": round(packed.edges_per_s, 1),
-        "unit": "edges/s",
-        "steps_per_s": round(packed.steps_per_s, 3),
-        "molecules_per_s": round(packed.molecules_per_s, 1),
-        "batch_size": batch_size,
-        "num_steps": num_steps,
-    }
-    if with_baseline:
-        dense = bench_dense_reference(
-            records, vocab, batch_size=min(batch_size, 256), num_steps=num_steps
-        )
-        out["vs_baseline"] = round(packed.edges_per_s / dense.edges_per_s, 3)
-        out["baseline_edges_per_s"] = round(dense.edges_per_s, 1)
-    else:
-        out["vs_baseline"] = 1.0
-    return out

@@ -77,10 +77,15 @@ def _graph_from_fallback(smiles_str: str) -> Dict[str, Any]:
     except _smi.SmilesParseError as e:
         raise ValueError(f"Invalid SMILES string: {smiles_str}") from e
     mol = _smi.add_hs(mol)
+    # Third field: RDKit's GetTotalNumHs() uses includeNeighbors=False by
+    # default, and AddHs converts implicit/explicit H counts into real H
+    # atoms — so after AddHs the reference's H-count feature is 0 for every
+    # atom (featurize.py:15 combined with :45). Match that exactly; the
+    # true neighbor-H count stays available on the chem.smiles Mol.
     atom_features: List[AtomFeature] = [
         (a.symbol if a.symbol != "*" else "*",
          a.formal_charge,
-         a.num_hs,
+         0,
          int(a.aromatic),
          a.hybridization)
         for a in mol.atoms

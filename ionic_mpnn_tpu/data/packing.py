@@ -52,7 +52,9 @@ class PackedGraphs:
 
     Shapes: N = node capacity, E = edge capacity, B = graph slots.
     Pad nodes have ``atom_ids == 0`` and ``node_mask == False``; pad edges
-    point at node 0 with ``edge_mask == False``. ``n_graphs`` is static
+    have ``edge_mask == False`` with src/dst spread uniformly over the node
+    range (their messages are masked to zero, and spreading keeps the
+    Pallas sorted-scatter windows balanced). ``n_graphs`` is static
     (pytree aux data) so it can size ``segment_sum`` outputs under jit.
     """
 
@@ -165,6 +167,15 @@ def pack_graphs(
     dst[:E] = dsts
     bond_ids[:E] = bonds
     edge_mask[:E] = True
+    # Spread pad edges uniformly over the node range (they carry zero
+    # messages, so placement is free). Concentrating them at node 0 floods
+    # the Pallas sorted-scatter kernel's first window past its static
+    # tile budget on underfilled batches, silently dropping real edges.
+    n_pad = edge_cap - E
+    if n_pad:
+        spread = (np.arange(n_pad, dtype=np.int64) * node_cap // n_pad).astype(np.int32)
+        src[E:] = spread
+        dst[E:] = spread
 
     if sort_edges_by_dst and E:
         # Stable sort over the FULL capacity (pads included, mask permuted)
@@ -265,26 +276,3 @@ def pad_dense_batch(
             conn[i, : len(e2)] = np.asarray(e2, np.int32)
             bond[i, : len(b2)] = np.asarray(b2, np.int32)
     return {"atom": atom, "bond": bond, "conn": conn}
-
-
-def capacities_for(
-    records: Sequence[Dict[str, Any]],
-    batch_size: int,
-    node_multiple: int = 8,
-    edge_multiple: int = 128,
-    duplicate_edges: bool = False,
-) -> Tuple[int, int]:
-    """Compute safe (node_cap, edge_cap) for batching ``records`` at
-    ``batch_size``: the max over a greedy scan of consecutive batches,
-    rounded up to TPU-friendly multiples."""
-    node_cap = edge_cap = 0
-    mult = 2 if duplicate_edges else 1
-    for i in range(0, len(records), batch_size):
-        chunk = records[i : i + batch_size]
-        nodes = sum(int(r["cation"]["num_atoms"]) for r in chunk)
-        edges = sum(len(r["cation"]["edge_indices"]) for r in chunk) * mult
-        nodes_a = sum(int(r["anion"]["num_atoms"]) for r in chunk)
-        edges_a = sum(len(r["anion"]["edge_indices"]) for r in chunk) * mult
-        node_cap = max(node_cap, nodes, nodes_a)
-        edge_cap = max(edge_cap, edges, edges_a)
-    return round_up(max(node_cap, 1), node_multiple), round_up(max(edge_cap, 1), edge_multiple)

@@ -114,6 +114,8 @@ class ScreeningEngine:
     def predict_batch(self, candidates: Sequence[Tuple[str, str, float]]) -> np.ndarray:
         """Predict up to plan.batch_size candidates; returns (len,) floats."""
         n = len(candidates)
+        if n > self.plan.batch_size:
+            raise ValueError(f"{n} candidates > batch size {self.plan.batch_size}")
         if native.native_available():
             cat_graphs = [self._encode(c) for c, _, _ in candidates]
             an_graphs = [self._encode(a) for _, a, _ in candidates]

@@ -30,7 +30,12 @@ from ..ops.message import (
 __all__ = ["BondMatrixMessage", "GatedUpdate", "VFTHead", "keras_embed_init"]
 
 glorot = nn.initializers.glorot_uniform
-keras_embed_init = nn.initializers.uniform(scale=0.05)  # Keras Embedding default
+
+
+def keras_embed_init(key, shape, dtype=jnp.float32):
+    """Keras Embedding default: uniform(-0.05, 0.05) (symmetric —
+    flax's nn.initializers.uniform samples [0, scale) only)."""
+    return jax.random.uniform(key, shape, dtype, -0.05, 0.05)
 
 
 class BondMatrixMessage(nn.Module):
@@ -65,9 +70,13 @@ class BondMatrixMessage(nn.Module):
         dst: jnp.ndarray,  # (E,) sorted by destination
         edge_mask: jnp.ndarray,  # (E,) bool, parity-adjusted by the caller
     ) -> jnp.ndarray:
+        # Keras glorot_uniform on (F, D, D) computes fan_in = fan_out = D·F
+        # (leading dims count as receptive field). jax's glorot with
+        # in_axis=-2/out_axis=-1 and NO batch_axis matches that; passing
+        # batch_axis=(0,) would exclude F and inflate the init √F×.
         w = self.param(
             "bond_transform",
-            glorot(in_axis=-2, out_axis=-1, batch_axis=(0,)),
+            glorot(in_axis=-2, out_axis=-1),
             (self.bond_dim, self.atom_dim, self.atom_dim),
         )
         m_table = bond_type_matrices(

@@ -95,6 +95,16 @@ int pack_graphs(
     node_offset += n;
   }
 
+  // Spread pad edges uniformly over the node range (zero messages —
+  // placement is free). Keeps the Pallas sorted-scatter kernel's per-window
+  // tile budget safe on underfilled batches (mirror of packing.py).
+  const int64_t n_pad = edge_cap - e_count;
+  for (int64_t k = 0; k < n_pad; ++k) {
+    const int32_t spread = static_cast<int32_t>(k * node_cap / n_pad);
+    src_out[e_count + k] = spread;
+    dst_out[e_count + k] = spread;
+  }
+
   if (sort_by_dst && edge_cap > 1) {
     // Sort the FULL capacity (pads included; mask permuted) so dst is
     // globally sorted — required by the Pallas sorted-scatter kernel.

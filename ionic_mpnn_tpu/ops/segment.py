@@ -48,9 +48,9 @@ def graph_sum_pool(
     """Masked per-graph sum readout (reference ``GlobalSumPool``,
     ``models/layers.py:159-164``: mask = atom_ids > 0)."""
     weighted = node_states * node_mask[:, None].astype(node_states.dtype)
-    return jax.ops.segment_sum(
-        weighted, node_graph, num_segments=n_graphs, indices_are_sorted=True
-    )
+    # node_graph is NOT fully sorted: trailing pad nodes carry graph id 0
+    # after real nodes with higher ids — never pass indices_are_sorted here.
+    return jax.ops.segment_sum(weighted, node_graph, num_segments=n_graphs)
 
 
 def graph_mean_pool(
@@ -64,6 +64,5 @@ def graph_mean_pool(
     sums = graph_sum_pool(node_states, node_graph, n_graphs, node_mask)
     counts = jax.ops.segment_sum(
         node_mask.astype(node_states.dtype), node_graph, num_segments=n_graphs,
-        indices_are_sorted=True,
     )
     return sums / (counts[:, None] + eps)

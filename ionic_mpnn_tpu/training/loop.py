@@ -452,11 +452,16 @@ def fit(
             patience = 0
         else:
             patience += 1
-            if patience > train_cfg.early_stopping_patience:
+            # Keras EarlyStopping stops when wait >= patience (after exactly
+            # `patience` consecutive non-improving epochs).
+            if patience >= train_cfg.early_stopping_patience:
                 stopped_early = True
 
-        if ckpt_dir and train_cfg.checkpoint_every and (
-            epoch % train_cfg.checkpoint_every == 0 or stopped_early
+        if ckpt_dir and (
+            stopped_early
+            or epoch == train_cfg.epochs  # final epoch: always persist
+            or (train_cfg.checkpoint_every
+                and epoch % train_cfg.checkpoint_every == 0)
         ):
             _save(epoch)
 

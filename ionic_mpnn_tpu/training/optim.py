@@ -1,10 +1,12 @@
-"""Optimizer factories: Adam + global-norm clipping, stage freezing.
+"""Optimizer factories: Adam + gradient clipping, stage freezing.
 
 The reference compiles every model with ``Adam(lr, clipnorm=1.0)``
-(``train_viscosity.py:227-230``); Keras ``clipnorm`` clips the GLOBAL
-gradient norm before the Adam update, which maps to
-``optax.chain(clip_by_global_norm, adam)``. Transfer-learning stage
-freezing (``train_melting_point_transfer.py:189-241``) is an
+(``train_viscosity.py:227-230``). Keras ``clipnorm`` clips EACH gradient
+tensor's L2 norm independently (``global_clipnorm`` is the global
+variant), so parity mode uses a per-variable clip transformation;
+``clip_mode="global"`` provides ``optax.clip_by_global_norm`` for users
+who prefer it. Transfer-learning stage freezing
+(``train_melting_point_transfer.py:189-241``) is an
 ``optax.multi_transform`` partition: frozen params get ``set_to_zero``.
 """
 
@@ -12,19 +14,46 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
+import jax.numpy as jnp
 import optax
 
-__all__ = ["make_optimizer", "make_partitioned_optimizer"]
+__all__ = ["clip_by_per_variable_norm", "make_optimizer", "make_partitioned_optimizer"]
+
+
+def clip_by_per_variable_norm(max_norm: float) -> optax.GradientTransformation:
+    """Clip each gradient leaf's L2 norm to ``max_norm`` independently
+    (Keras ``clipnorm`` semantics)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return g * scale
+
+        return jax.tree.map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_optimizer(
     learning_rate: float = 1e-3,
     clipnorm: Optional[float] = 1.0,
     weight_decay: float = 0.0,
+    clip_mode: str = "per_variable",  # "per_variable" (Keras clipnorm) | "global"
 ) -> optax.GradientTransformation:
     parts = []
     if clipnorm is not None and clipnorm > 0:
-        parts.append(optax.clip_by_global_norm(clipnorm))
+        if clip_mode == "global":
+            parts.append(optax.clip_by_global_norm(clipnorm))
+        else:
+            parts.append(clip_by_per_variable_norm(clipnorm))
     if weight_decay > 0:
         parts.append(optax.adamw(learning_rate, weight_decay=weight_decay))
     else:

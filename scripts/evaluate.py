@@ -16,9 +16,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def _eval_task(name, model_cls, records, plan, ckpt_dir, out_dir, target_key,
-               unit="", default_cfg=None):
+def _eval_task(name, model_cls, records, ckpt_dir, out_dir, target_key,
+               unit="", default_cfg=None, with_temperature=True):
     from ionic_mpnn_tpu.config import model_config_from_dict
+    from ionic_mpnn_tpu.data import plan_capacities
     from ionic_mpnn_tpu.training import (
         evaluate_splits, predict, random_split, restore_checkpoint,
     )
@@ -35,6 +36,12 @@ def _eval_task(name, model_cls, records, plan, ckpt_dir, out_dir, target_key,
     else:
         raise KeyError(f"checkpoint {ckpt_dir} has no model_config and no default given")
     model = model_cls(cfg)
+    # batch construction must match training: parity-mode checkpoints use
+    # the reference's duplicated-edge expansion
+    plan = plan_capacities(records, batch_size=32,
+                           duplicate_edges=cfg.parity_mode,
+                           with_temperature=with_temperature,
+                           target_key=target_key)
     params = restored.get("best_params", restored["params"])
     batch_stats = restored.get("best_stats", restored.get("batch_stats"))
     normalizer = restored.get("normalizer") or Normalizer.identity()
@@ -87,8 +94,7 @@ def main() -> int:
     if vis_ckpt.exists():
         any_found = True
         records = load_pickle(data_dir / "viscosity_id_data.pkl")
-        plan = plan_capacities(records, batch_size=32)
-        _eval_task("viscosity", ViscosityModel, records, plan, vis_ckpt, out_dir,
+        _eval_task("viscosity", ViscosityModel, records, vis_ckpt, out_dir,
                    "log_eta", " log10(cP)",
                    default_cfg=viscosity_config(vocab.atom_vocab_size,
                                                 vocab.bond_vocab_size))
@@ -97,10 +103,8 @@ def main() -> int:
     if mp_ckpt.exists():
         any_found = True
         records = load_pickle(data_dir / "mp_id_data.pkl")
-        plan = plan_capacities(records, batch_size=32,
-                               with_temperature=False, target_key="mp")
-        _eval_task("melting_point", MeltingPointModel, records, plan, mp_ckpt,
-                   out_dir, "mp", " K",
+        _eval_task("melting_point", MeltingPointModel, records, mp_ckpt,
+                   out_dir, "mp", " K", with_temperature=False,
                    default_cfg=melting_point_config(vocab.atom_vocab_size,
                                                     vocab.bond_vocab_size))
 
@@ -108,10 +112,8 @@ def main() -> int:
     if tr_ckpt.exists():
         any_found = True
         records = load_pickle(data_dir / "mp_id_data.pkl")
-        plan = plan_capacities(records, batch_size=32,
-                               with_temperature=False, target_key="mp")
-        _eval_task("transfer", TransferMPModel, records, plan, tr_ckpt,
-                   out_dir, "mp", " K",
+        _eval_task("transfer", TransferMPModel, records, tr_ckpt,
+                   out_dir, "mp", " K", with_temperature=False,
                    default_cfg=viscosity_config(
                        vocab.atom_vocab_size, vocab.bond_vocab_size
                    ).replace(head="transfer"))

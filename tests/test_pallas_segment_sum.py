@@ -59,6 +59,28 @@ def test_kernel_on_packed_molecular_batch(encoded_viscosity):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-4, atol=1e-4)
 
 
+def test_underfilled_batch_pad_edges_do_not_flood_window0(encoded_viscosity):
+    """Regression: pad edges used to all carry dst=0, overflowing window 0's
+    static tile budget on underfilled batches and silently dropping real
+    messages. Pads are now spread across the node range at pack time."""
+    from ionic_mpnn_tpu.data.packing import pack_graphs
+
+    records = encoded_viscosity["viscosity"][:4]
+    graphs = [r["cation"] for r in records]
+    # huge edge capacity relative to real edges -> thousands of pad edges
+    packed = pack_graphs(graphs, node_cap=256, edge_cap=4096)
+    assert packed.edge_mask.sum() < 400
+    rng = np.random.default_rng(0)
+    msgs = jnp.array(rng.normal(size=(4096, 16)).astype(np.float32))
+    msgs = msgs * jnp.array(packed.edge_mask)[:, None]
+    N = 256
+    expected = jax.ops.segment_sum(msgs, jnp.array(packed.dst), num_segments=N)
+    got = sorted_segment_sum(msgs, jnp.array(packed.dst), N, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-4, atol=1e-4)
+    # and real node-0..127 rows are nonzero where expected
+    assert np.abs(np.asarray(expected)[:64]).sum() > 0
+
+
 def test_window_ptr():
     dst = jnp.array([0, 0, 3, 130, 130, 260], dtype=jnp.int32)
     ptr, nw = window_ptr(dst, 384, window=128)
