@@ -42,9 +42,10 @@ def _flat_params(params):
     return traverse_util.flatten_dict(unfreeze(params))
 
 
-def _transplant(ref_model, flat, num_steps):
-    """Copy our flax params into the reference Keras model by layer type/order."""
-    from tensorflow.keras.layers import Dense, Embedding
+def _transplant_trunk(ref_model, flat, num_steps):
+    """Copy trunk params (embeddings, bond transforms, gated updates) into a
+    reference Keras model by layer type/name."""
+    from tensorflow.keras.layers import Embedding
 
     embeddings = [l for l in ref_model.layers if isinstance(l, Embedding)]
     atom_emb, bond_emb = embeddings  # creation order: atom then bond
@@ -59,12 +60,18 @@ def _transplant(ref_model, flat, num_steps):
 
     gus = [l for l in ref_model.layers if type(l).__name__ == "GatedUpdate"]
     assert len(gus) == 2 * num_steps
+
+    def _suffix(layer):
+        s = layer.name.rsplit("_", 1)[-1]
+        return int(s) if s.isdigit() else 0
+
+    # Keras auto-names follow creation order (cation steps then anion
+    # steps), but the counter is GLOBAL across previously-built models in
+    # the process — normalize to the lowest suffix. model.layers itself is
+    # topologically sorted, so don't trust list position.
+    k0 = min(_suffix(g) for g in gus)
     for gu in gus:
-        # Keras auto-names follow creation order: gated_update.._3 are the
-        # cation steps, _4.._7 the anion steps (model.layers itself is
-        # topologically sorted, so don't trust list position).
-        suffix = gu.name.rsplit("_", 1)[-1]
-        k = int(suffix) if suffix.isdigit() else 0
+        k = _suffix(gu) - k0
         ion = "cat_encoder" if k < num_steps else "an_encoder"
         step = k % num_steps
         p = ("trunk", ion, f"gru_{step}")
@@ -81,6 +88,12 @@ def _transplant(ref_model, flat, num_steps):
             [np.asarray(flat[p + ("layernorm", "scale")]), np.asarray(flat[p + ("layernorm", "bias")])]
         )
 
+
+def _transplant(ref_model, flat, num_steps):
+    """Trunk + viscosity-head transplant (reference build_model layout)."""
+    from tensorflow.keras.layers import Dense
+
+    _transplant_trunk(ref_model, flat, num_steps)
     denses = [l for l in ref_model.layers if isinstance(l, Dense)]
     # creation order: cat fp, an fp, cat proj, an proj, visc_params
     assert len(denses) == 5
@@ -144,6 +157,77 @@ def test_viscosity_end_to_end_activation_parity(reference_modules, encoded_visco
     theirs = ref_model.predict(ref_inputs, verbose=0).flatten()
 
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+def test_melting_point_end_to_end_activation_parity(reference_modules, encoded_viscosity):
+    """Same contract for the melting-point model: reference Keras build
+    (train_melting_point.py:137-215, bond_dim = atom_dim² = 1024) with OUR
+    transplanted weights must match the packed parity-mode model."""
+    import jax
+
+    sys.path.insert(0, str(REFERENCE))
+    import train_melting_point as ref_mp
+
+    from ionic_mpnn_tpu.config import melting_point_config
+    from ionic_mpnn_tpu.data import iter_batches, plan_capacities
+    from ionic_mpnn_tpu.data.packing import pad_dense_batch
+    from ionic_mpnn_tpu.models import MeltingPointModel
+
+    vocab = encoded_viscosity["vocab"]
+    records = encoded_viscosity["mp"][:8]
+
+    cfg = melting_point_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                               parity_mode=True)
+    plan = plan_capacities(records, batch_size=8, duplicate_edges=True,
+                           with_temperature=False, target_key="mp")
+    batch = next(iter_batches(records, plan))
+    model = MeltingPointModel(cfg)
+    variables = model.init(jax.random.PRNGKey(11), batch)
+    ours = np.asarray(model.apply(variables, batch)["pred"])
+
+    ref_model = ref_mp.build_model(
+        atom_vocab_size=vocab.atom_vocab_size + 1,
+        bond_vocab_size=vocab.bond_vocab_size + 1,
+    )
+    flat = _flat_params(variables["params"])
+    _transplant_trunk(ref_model, flat, num_steps=4)
+    # MP head: creation order = cat fp, an fp, cat proj, an proj,
+    # head Dense(32,relu), head Dense(1) (train_melting_point.py:173,191-198)
+    from tensorflow.keras.layers import Dense
+
+    denses = [l for l in ref_model.layers if isinstance(l, Dense)]
+    assert len(denses) == 6
+    mapping = [
+        ("trunk", "cat_encoder", "fp_dense"),
+        ("trunk", "an_encoder", "fp_dense"),
+        ("trunk", "cat_proj"),
+        ("trunk", "an_proj"),
+        ("head_dense",),
+        ("head_out",),
+    ]
+    for dense, path in zip(denses, mapping):
+        dense.set_weights(
+            [np.asarray(flat[path + ("kernel",)]), np.asarray(flat[path + ("bias",)])]
+        )
+
+    max_atoms = max(
+        max(r["cation"]["num_atoms"] for r in records),
+        max(r["anion"]["num_atoms"] for r in records),
+    )
+    max_edges = max(
+        max(len(r["cation"]["edge_indices"]) for r in records),
+        max(len(r["anion"]["edge_indices"]) for r in records),
+    )
+    cat = pad_dense_batch([r["cation"] for r in records], max_atoms, max_edges)
+    an = pad_dense_batch([r["anion"] for r in records], max_atoms, max_edges)
+    theirs = ref_model.predict(
+        {
+            "cat_atom": cat["atom"], "cat_bond": cat["bond"], "cat_connectivity": cat["conn"],
+            "an_atom": an["atom"], "an_bond": an["bond"], "an_connectivity": an["conn"],
+        },
+        verbose=0,
+    ).flatten()
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-3)
 
 
 def test_layer_level_parity_bond_matrix_message(reference_modules, encoded_viscosity):
