@@ -23,7 +23,7 @@ def main() -> int:
     parser.add_argument("--batch-size", type=int, default=2048)
     parser.add_argument("--num-steps", type=int, default=4)
     parser.add_argument("--iters", type=int, default=30)
-    parser.add_argument("--inner", type=int, default=1,
+    parser.add_argument("--inner", type=int, default=8,
                         help="train steps folded into one jit call (lax.scan)")
     parser.add_argument("--no-baseline", action="store_true")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
