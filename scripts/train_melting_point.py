@@ -30,6 +30,8 @@ def main() -> int:
     ap.add_argument("--num-steps", type=int, default=4)
     ap.add_argument("--atom-dim", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="fold K train steps into one jitted lax.scan dispatch")
     ap.add_argument("--parity-mode", action="store_true")
     args = ap.parse_args()
 
@@ -59,6 +61,7 @@ def main() -> int:
     tcfg = TrainConfig(
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         early_stopping_patience=args.patience, seed=args.seed,
+        steps_per_call=args.steps_per_call,
         normalize_y=True, normalize_guard="or1",
     )
     plan = plan_capacities(records, batch_size=tcfg.batch_size,

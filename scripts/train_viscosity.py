@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--num-steps", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="fold K train steps into one jitted lax.scan dispatch")
     ap.add_argument("--pair-split", action="store_true", help="leak-free pair-level split")
     ap.add_argument("--parity-mode", action="store_true", help="reproduce reference quirks")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
@@ -68,6 +70,7 @@ def main() -> int:
     tcfg = TrainConfig(
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         early_stopping_patience=args.patience, seed=args.seed,
+        steps_per_call=args.steps_per_call,
     )
     # capacities from ALL records so dev/test molecules can't overflow at eval
     plan = plan_capacities(records, batch_size=tcfg.batch_size,
