@@ -25,10 +25,13 @@ or faster (0.89× at E=32k/N=16k, 0.48× at E=131k/N=65k vs this kernel),
 so the framework default stays ``scatter_impl="xla"``; the kernel remains
 available behind the flag and as the base for future fused-step kernels.
 
-Capacity contract: no window's edge count may exceed
-``max_tiles_per_window * T``. For packed molecular graphs (degree ≤ ~6)
-the default bound is generous; :func:`window_ptr` verifies it on the
-host and the caller falls back to ``jax.ops.segment_sum`` if violated.
+Capacity contract (UNCHECKED under jit — exceeding it silently drops
+edges): no window's edge count may exceed ``max_tiles_per_window *
+tile`` (default 16×128 = 2048). The packer upholds it by construction
+for molecular graphs: real per-window load is ≤ window·max_degree
+(≈128·16 with duplicated edges at the extreme), and pad edges are spread
+uniformly over the node range rather than piled at node 0
+(``data/packing.py``). Raise ``max_tiles_per_window`` for denser graphs.
 """
 
 from __future__ import annotations
