@@ -40,6 +40,11 @@ class ModelConfig:
     compute_dtype: str = "float32"  # "bfloat16" for TPU throughput configs
     message_impl: str = "gather"  # "gather" | "typed" (MXU type-bucketed)
     scatter_impl: str = "xla"  # "xla" | "pallas" (sorted-scatter TPU kernel)
+    # Edge-partitioned execution (graph analogue of context parallelism):
+    # when set to a mesh axis name and the model runs inside shard_map with
+    # edge arrays sharded over that axis, per-shard aggregates are merged
+    # with one psum per message step (messages are additive → exact).
+    ep_axis: Optional[str] = None
     # VFT head constants (models/layers.py:10-42)
     vft_b_clip: Tuple[float, float] = (0.0, 20.0)
     vft_c_clip: Tuple[float, float] = (0.1, 50.0)

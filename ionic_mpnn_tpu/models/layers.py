@@ -59,6 +59,9 @@ class BondMatrixMessage(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     impl: str = "gather"
     scatter: str = "xla"  # "xla" | "pallas" (sorted-scatter kernel)
+    # Inside shard_map with edge arrays sharded over this axis, per-shard
+    # aggregates are merged with one psum (edge-partitioned execution).
+    ep_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -84,10 +87,15 @@ class BondMatrixMessage(nn.Module):
         )
         h = node_states.astype(self.compute_dtype)
         if self.impl == "typed":
-            return message_pass_aggregate_typed(h, bond_ids, src, dst, m_table, edge_mask)
-        return message_pass_aggregate(
-            h, bond_ids, src, dst, m_table, edge_mask, scatter=self.scatter
-        )
+            agg = message_pass_aggregate_typed(h, bond_ids, src, dst, m_table, edge_mask)
+        else:
+            agg = message_pass_aggregate(
+                h, bond_ids, src, dst, m_table, edge_mask, scatter=self.scatter
+            )
+        if self.ep_axis is not None:
+            # messages are additive over edge shards → one exact all-reduce
+            agg = jax.lax.psum(agg, self.ep_axis)
+        return agg
 
 
 class GatedUpdate(nn.Module):

@@ -2,7 +2,12 @@
 
 from .mesh import batch_sharding, make_mesh, replicated_sharding
 from .data_parallel import make_dp_train_step, shard_batch, stack_batches, split_for_devices
-from .edge_partition import edge_partitioned_aggregate, partition_edges
+from .edge_partition import (
+    edge_partitioned_aggregate,
+    make_ep_train_step,
+    partition_batch_edges,
+    partition_edges,
+)
 from .tensor_parallel import param_specs, shard_params
 from .distributed import host_record_shard, initialize_distributed
 
@@ -15,6 +20,8 @@ __all__ = [
     "stack_batches",
     "split_for_devices",
     "edge_partitioned_aggregate",
+    "make_ep_train_step",
+    "partition_batch_edges",
     "partition_edges",
     "param_specs",
     "shard_params",
