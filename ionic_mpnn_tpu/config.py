@@ -115,6 +115,7 @@ class TrainConfig:
     early_stopping_patience: int = 50
     seed: int = 0
     steps_per_call: int = 1  # fold K train steps into one jitted lax.scan
+    use_native_loader: bool = True  # C++ packer for epoch batching when built
     normalize_y: bool = False  # z-score on train stats (MP task)
     normalize_guard: str = "or1"  # "or1" (train_melting_point.py:256) | "eps" (transfer :174-181)
     weight_decay: float = 0.0

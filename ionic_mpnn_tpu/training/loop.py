@@ -258,6 +258,22 @@ def fit(
     else:
         normalizer = Normalizer.identity()
 
+    # Host-side batching: the C++ packer (bit-identical to the Python
+    # path, tested) when built and enabled — per-epoch packing otherwise
+    # rivals the TPU step time at scale.
+    train_iter = iter_batches
+    train_source: Any = train_records
+    if train_cfg.use_native_loader:
+        from .. import native
+
+        if native.native_available():
+            from ..data.columnar import ColumnarIonPairs, iter_batches_fast
+
+            train_iter = iter_batches_fast
+            train_source = ColumnarIonPairs.from_records(
+                train_records, target_key=plan.target_key
+            )
+
     rng = jax.random.PRNGKey(train_cfg.seed)
     init_rng, state_rng = jax.random.split(rng)
 
@@ -385,8 +401,8 @@ def fit(
         losses, ns = [], []
         if n_dev > 1:
             group: List[Any] = []
-            for batch in iter_batches(train_records, plan, shuffle=True,
-                                      seed=train_cfg.seed + epoch):
+            for batch in train_iter(train_source, plan, shuffle=True,
+                                    seed=train_cfg.seed + epoch):
                 group.append(batch)
                 if len(group) == n_dev:
                     n_real = sum(float(np.asarray(b.sample_mask).sum()) for b in group)
@@ -411,8 +427,8 @@ def fit(
                 losses.append(m["loss_sum"] / jnp.maximum(m["n"], 1.0))
                 ns.append(n_real)
 
-            for batch in iter_batches(train_records, plan, shuffle=True,
-                                      seed=train_cfg.seed + epoch):
+            for batch in train_iter(train_source, plan, shuffle=True,
+                                    seed=train_cfg.seed + epoch):
                 group.append(batch)
                 if len(group) == K:
                     _run_group(group)
@@ -420,8 +436,8 @@ def fit(
             if group:
                 _run_group(group)
         else:
-            for batch in iter_batches(train_records, plan, shuffle=True,
-                                      seed=train_cfg.seed + epoch):
+            for batch in train_iter(train_source, plan, shuffle=True,
+                                    seed=train_cfg.seed + epoch):
                 state, m = train_step(state, batch)
                 losses.append(m["loss"])
                 ns.append(float(np.asarray(batch.sample_mask).sum()))
