@@ -109,6 +109,12 @@ def _pack_side(side: _Side, g0: int, g1: int, plan: BatchPlan) -> PackedGraphs:
         duplicate_edges=plan.duplicate_edges,
     )
     atom_ids, bond_ids, src, dst, node_graph, node_local, node_mask, edge_mask = arrays
+    # Same Pallas sorted-scatter capacity guard as the Python packer: the
+    # native loader must never emit a batch the kernel would silently
+    # truncate (see ops/pallas/segment_sum.py capacity contract).
+    from ..ops.pallas.segment_sum import check_window_capacity
+
+    check_window_capacity(dst, plan.node_cap, edge_mask=edge_mask)
     return PackedGraphs(
         atom_ids=atom_ids, bond_ids=bond_ids, src=src, dst=dst,
         node_graph=node_graph, node_local=node_local,

@@ -186,6 +186,17 @@ def pack_graphs(
         dst = dst[order]
         bond_ids = bond_ids[order]
         edge_mask = edge_mask[order]
+        # Uphold the Pallas sorted-scatter capacity contract at pack time:
+        # a batch this function emits can never make the kernel silently
+        # drop REAL edges (pad edges carry zero messages — dropping those
+        # is harmless). Molecular degree bounds make overflow unreachable
+        # in practice; a pathological input fails loudly here instead.
+        from ..ops.pallas.segment_sum import PallasCapacityError, check_window_capacity
+
+        try:
+            check_window_capacity(dst, node_cap, edge_mask=edge_mask)
+        except PallasCapacityError as e:
+            raise GraphCapacityError(str(e)) from None
 
     return PackedGraphs(
         atom_ids=atom_ids,

@@ -55,11 +55,82 @@ except Exception:  # pragma: no cover
     _VMEM = _SMEM = None
     _GRID = None
 
-__all__ = ["sorted_segment_sum", "window_ptr"]
+__all__ = [
+    "sorted_segment_sum",
+    "window_ptr",
+    "window_overflow",
+    "check_window_capacity",
+    "PallasCapacityError",
+]
 
 DEFAULT_WINDOW = 128  # node rows per output block
 DEFAULT_TILE = 128  # edges per tile
 DEFAULT_MAX_TILES = 16  # max edge tiles overlapping one window
+
+
+class PallasCapacityError(ValueError):
+    """A window's edge span exceeds the kernel's static tile budget —
+    proceeding would silently drop edges."""
+
+
+def dropped_edge_mask(
+    dst: np.ndarray,
+    num_nodes: int,
+    window: int = DEFAULT_WINDOW,
+    tile: int = DEFAULT_TILE,
+    max_tiles_per_window: int = DEFAULT_MAX_TILES,
+) -> np.ndarray:
+    """(E,) bool: edges the kernel would NEVER VISIT for this sorted ``dst``.
+
+    Window ``w`` processes edge tiles ``floor(ptr[w]/tile) + k`` for
+    ``k < max_tiles_per_window``; edges of the window past that range are
+    skipped. Host-side (numpy) — call before jit boundaries.
+    """
+    dst = np.asarray(dst)
+    num_windows = max(-(-num_nodes // window), 1)
+    bounds = np.arange(num_windows + 1, dtype=np.int64) * window
+    ptr = np.searchsorted(dst, bounds, side="left")
+    w = np.minimum(dst.astype(np.int64) // window, num_windows - 1)
+    threshold = (ptr[w] // tile) * tile + max_tiles_per_window * tile
+    return np.arange(len(dst), dtype=np.int64) >= threshold
+
+
+def window_overflow(
+    dst: np.ndarray,
+    num_nodes: int,
+    window: int = DEFAULT_WINDOW,
+    tile: int = DEFAULT_TILE,
+    max_tiles_per_window: int = DEFAULT_MAX_TILES,
+    edge_mask: np.ndarray | None = None,
+) -> int:
+    """Number of edges the kernel would DROP. With ``edge_mask``, only
+    *real* edges count — pad edges carry zero messages, so skipping them
+    is harmless (and expected in heavily-underfilled batches, where pads
+    can legitimately exceed the per-window tile budget)."""
+    dropped = dropped_edge_mask(dst, num_nodes, window, tile, max_tiles_per_window)
+    if edge_mask is not None:
+        dropped = dropped & np.asarray(edge_mask)
+    return int(dropped.sum())
+
+
+def check_window_capacity(
+    dst: np.ndarray,
+    num_nodes: int,
+    window: int = DEFAULT_WINDOW,
+    tile: int = DEFAULT_TILE,
+    max_tiles_per_window: int = DEFAULT_MAX_TILES,
+    edge_mask: np.ndarray | None = None,
+) -> None:
+    """Raise :class:`PallasCapacityError` if the sorted-scatter kernel's
+    capacity contract is violated (instead of silently dropping edges)."""
+    dropped = window_overflow(dst, num_nodes, window, tile, max_tiles_per_window, edge_mask)
+    if dropped:
+        raise PallasCapacityError(
+            f"sorted-scatter capacity exceeded: {dropped} real edges fall past "
+            f"max_tiles_per_window={max_tiles_per_window} (window={window}, "
+            f"tile={tile}, num_nodes={num_nodes}); raise max_tiles_per_window "
+            f"or repack with spread pad edges"
+        )
 
 
 def window_ptr(
@@ -113,14 +184,31 @@ def sorted_segment_sum(
     tile: int = DEFAULT_TILE,
     max_tiles_per_window: int = DEFAULT_MAX_TILES,
     interpret: bool = False,
+    debug_check: bool = False,
 ) -> jnp.ndarray:
     """Segment-sum messages into (num_nodes, D) via the Pallas kernel.
 
     Requirements: ``dst`` sorted; messages already masked (pad rows 0).
-    The per-window tile bound is a static capacity; exceed it and edges
-    are silently dropped — callers must validate (the packed-batch
-    degree bound makes the default safe for molecular graphs).
+    The per-window tile bound is a static capacity. Overflow is NEVER
+    silent from public entry points: concrete (non-traced) ``dst`` is
+    validated here on the host; traced calls are covered by the pack
+    paths (:func:`ionic_mpnn_tpu.data.packing.pack_graphs` and the
+    native loader validate every batch they emit) and, belt-and-braces,
+    by ``debug_check=True`` which raises from a device callback.
     """
+    if not isinstance(dst, jax.core.Tracer):
+        dropped = dropped_edge_mask(
+            np.asarray(dst), num_nodes, window, tile, max_tiles_per_window
+        )
+        if dropped.any() and not isinstance(messages, jax.core.Tracer):
+            # dropping all-zero (pad) rows is harmless; anything else is a
+            # correctness bug — fail loudly instead of silently truncating.
+            lost = float(np.abs(np.asarray(messages)[dropped]).sum())
+            if lost > 0.0:
+                raise PallasCapacityError(
+                    f"sorted-scatter capacity exceeded: {int(dropped.sum())} "
+                    f"dropped edges carry nonzero messages (|sum|={lost:g})"
+                )
     E, D = messages.shape
     if E % tile:
         pad = tile - E % tile
@@ -133,6 +221,24 @@ def sorted_segment_sum(
     N = num_nodes + n_pad_nodes
 
     ptr, num_windows = window_ptr(dst, N, window)
+    if debug_check:
+        # Traced-safe detection: a dropped edge is only a bug if its message
+        # row is nonzero (pad rows are pre-masked to zero). Raises from the
+        # host callback instead of silently truncating.
+        w_ids = jnp.minimum(dst.astype(jnp.int32) // window, num_windows - 1)
+        threshold = (ptr[w_ids] // tile) * tile + max_tiles_per_window * tile
+        dropped = jnp.arange(E, dtype=jnp.int32) >= threshold
+        lost = jnp.sum(jnp.abs(messages) * dropped[:, None].astype(messages.dtype))
+        n_dropped = jnp.sum(dropped)
+
+        def _raise(lost_abs, n):
+            if float(lost_abs) > 0.0:
+                raise PallasCapacityError(
+                    f"sorted-scatter capacity exceeded under jit: {int(n)} dropped "
+                    f"edges carry nonzero messages (|sum|={float(lost_abs):g})"
+                )
+
+        jax.debug.callback(_raise, lost, n_dropped)
     n_edge_tiles = E // tile
 
     def _edge_block(w, k, ptr):

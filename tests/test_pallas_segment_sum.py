@@ -103,3 +103,84 @@ def test_vjp_gradient_matches_xla():
     g_pallas = jax.grad(loss_pallas)(msg)
     g_xla = jax.grad(loss_xla)(msg)
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Capacity contract: overflow must be DETECTED, never a silent edge drop
+# ---------------------------------------------------------------------------
+
+
+def _overflowing_edges(D=8):
+    # 3000 edges all landing in window 0 (< node 128) with the default
+    # budget max_tiles(16) * tile(128) = 2048 -> 952 edges would be dropped.
+    E = 3000
+    rng = np.random.default_rng(7)
+    dst = np.sort(rng.integers(0, 100, E)).astype(np.int32)
+    msg = rng.normal(size=(E, D)).astype(np.float32)
+    return jnp.array(msg), jnp.array(dst)
+
+
+def test_window_overflow_counts_dropped_edges():
+    from ionic_mpnn_tpu.ops.pallas.segment_sum import window_overflow
+
+    _, dst = _overflowing_edges()
+    dropped = window_overflow(np.asarray(dst), 256)
+    # all 3000 edges start in tile 0 of window 0; budget is 2048
+    assert dropped == 3000 - 2048
+    # a healthy molecular-batch-like distribution has zero overflow
+    ok = np.sort(np.random.default_rng(0).integers(0, 4096, 8192)).astype(np.int32)
+    assert window_overflow(ok, 4096) == 0
+
+
+def test_eager_overflow_raises_instead_of_truncating():
+    from ionic_mpnn_tpu.ops.pallas.segment_sum import PallasCapacityError
+
+    msg, dst = _overflowing_edges()
+    with pytest.raises(PallasCapacityError):
+        sorted_segment_sum(msg, dst, 256, interpret=True)
+
+
+def test_jit_debug_check_raises_via_callback():
+    from ionic_mpnn_tpu.ops.pallas.segment_sum import PallasCapacityError
+
+    msg, dst = _overflowing_edges()
+
+    @jax.jit
+    def run(m, d):
+        return sorted_segment_sum(m, d, 256, interpret=True, debug_check=True)
+
+    with pytest.raises(Exception) as exc_info:
+        jax.block_until_ready(run(msg, dst))
+    assert "capacity exceeded" in str(exc_info.value)
+
+
+def test_pack_graphs_rejects_overflowing_graph():
+    from ionic_mpnn_tpu.data.packing import GraphCapacityError, pack_graphs
+
+    # one pathological "molecule": a star graph, node 0 with degree 2500
+    n = 2501
+    edges = [[i, 0] for i in range(1, n)]
+    g = {
+        "atom_ids": [0] * n,
+        "bond_ids": [0] * (n - 1),
+        "edge_indices": edges,
+        "num_atoms": n,
+    }
+    with pytest.raises(GraphCapacityError, match="capacity exceeded"):
+        pack_graphs([g], node_cap=2560, edge_cap=2560)
+
+
+def test_native_loader_validates_capacity(encoded_viscosity):
+    # normal molecular batches sail through the native-path guard
+    from ionic_mpnn_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native packer not built")
+    from ionic_mpnn_tpu.data import plan_capacities
+    from ionic_mpnn_tpu.data.columnar import ColumnarIonPairs, iter_batches_fast
+
+    records = encoded_viscosity["viscosity"][:32]
+    plan = plan_capacities(records, batch_size=16)
+    data = ColumnarIonPairs.from_records(records, target_key=plan.target_key)
+    batches = list(iter_batches_fast(data, plan))
+    assert batches
