@@ -71,6 +71,23 @@ def main() -> int:
         "vs_baseline": 1.0,
     }
 
+    # Absolute efficiency vs the chip roofline (analytic FLOP/byte model,
+    # see ionic_mpnn_tpu/benchmarks/roofline.py) — only meaningful on TPU.
+    import jax
+
+    if jax.devices()[0].platform != "cpu":
+        from ionic_mpnn_tpu.benchmarks.roofline import roofline_summary
+
+        roof = roofline_summary(
+            {"flops": packed.flops_per_step, "hbm_bytes": packed.hbm_bytes_per_step},
+            measured_step_seconds=1.0 / packed.steps_per_s,
+        )
+        result["mfu"] = round(roof["mfu"], 5)
+        result["hbm_bound_fraction"] = round(roof["hbm_bound_fraction"], 4)
+        result["roofline_headroom"] = round(roof["roofline_headroom"], 2)
+        result["model_flops_per_step"] = packed.flops_per_step
+        result["model_hbm_bytes_per_step"] = packed.hbm_bytes_per_step
+
     if not args.no_baseline:
         try:
             proc = subprocess.run(

@@ -69,6 +69,8 @@ class BenchResult:
     molecules_per_s: float
     message_edges_per_step: int
     wall_s: float
+    flops_per_step: float = 0.0  # analytic model (see .roofline)
+    hbm_bytes_per_step: float = 0.0
 
 
 def _count_message_edges(batch, num_steps: int) -> int:
@@ -147,12 +149,25 @@ def bench_packed_train_step(
     total_steps = iters * inner
     me = _count_message_edges(batch, num_steps)
     n_mol = int(np.asarray(batch.sample_mask).sum()) * 2  # both ions
+    from .roofline import train_step_cost
+
+    cost = train_step_cost(
+        node_cap=batch.cation.node_capacity,
+        edge_cap=batch.cation.edge_capacity,
+        n_graphs=batch.cation.n_graphs,
+        atom_dim=cfg.atom_dim,
+        bond_dim=cfg.bond_dim,
+        bond_vocab=vocab.bond_vocab_size,
+        num_steps=num_steps,
+    )
     return BenchResult(
         edges_per_s=me * total_steps / dt,
         steps_per_s=total_steps / dt,
         molecules_per_s=n_mol * total_steps / dt,
         message_edges_per_step=me,
         wall_s=dt,
+        flops_per_step=cost["flops"],
+        hbm_bytes_per_step=cost["hbm_bytes"],
     )
 
 

@@ -14,3 +14,28 @@ def test_scaling_harness_runs():
     assert [r["devices"] for r in rows] == [1, 2]
     assert rows[0]["scaling_efficiency"] == 1.0
     assert all(r["edges_per_s"] > 0 for r in rows)
+
+
+def test_roofline_model():
+    from ionic_mpnn_tpu.benchmarks.roofline import (
+        TPU_V5E,
+        roofline_summary,
+        train_step_cost,
+    )
+
+    cost = train_step_cost(
+        node_cap=32768, edge_cap=131072, n_graphs=2048,
+        atom_dim=32, bond_dim=8, bond_vocab=20, num_steps=4,
+    )
+    assert cost["flops"] > 0 and cost["hbm_bytes"] > 0
+    # dominant term sanity: per-edge matvec ~ 3 * 2 ions * 4 steps * 2*E*D^2
+    assert cost["flops"] > 3 * 2 * 4 * 2 * 131072 * 32 * 32
+
+    # measured time exactly at the roofline -> headroom 1, mfu <= 1
+    roof = roofline_summary(cost, measured_step_seconds=cost["hbm_bytes"] / TPU_V5E.hbm_bw)
+    assert 0 < roof["mfu"] <= 1.0
+    assert 0.0 <= roof["hbm_bound_fraction"] <= 1.0
+    assert roof["roofline_headroom"] >= 0.99
+
+    # the small-D MPNN at these shapes should be HBM-bound in the model
+    assert roof["hbm_bound_fraction"] > 0.5
