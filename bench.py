@@ -34,6 +34,10 @@ def main() -> int:
                         help="internal: measure only the dense reference baseline")
     args = parser.parse_args()
 
+    from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ionic_mpnn_tpu.benchmarks import (
         bench_dense_reference,
         bench_packed_train_step,

@@ -89,6 +89,7 @@ def bench_packed_train_step(
     message_impl: str = "gather",
     inner: int = 1,
     model_kind: str = "viscosity",
+    donate: bool = True,
 ) -> BenchResult:
     if model_kind == "mp":
         cfg = melting_point_config(
@@ -134,7 +135,7 @@ def bench_packed_train_step(
             state, losses = jax.lax.scan(body, state, None, length=inner)
             return state, losses[-1]
 
-    multi_fn = jax.jit(multi, donate_argnums=(0,))
+    multi_fn = jax.jit(multi, donate_argnums=(0,) if donate else ())
 
     for _ in range(warmup):
         state, last = multi_fn(state, batch)

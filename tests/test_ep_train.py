@@ -85,3 +85,153 @@ def test_ep_step_multiple_steps_descend(encoded_viscosity):
         losses.append(float(m["loss"]))
     assert min(losses[4:]) < losses[0]
     assert int(state.step) == 8
+
+
+# ---------------------------------------------------------------------------
+# Halo-exchange EP v2 (SURVEY §7 step 7): node ownership + ppermute halos
+# ---------------------------------------------------------------------------
+
+
+def _halo_setup(encoded_viscosity, n_dev, num_steps=2):
+    records = encoded_viscosity["viscosity"][:24]
+    vocab = encoded_viscosity["vocab"]
+    plan = plan_capacities(records, batch_size=24, node_multiple=8 * n_dev,
+                           edge_multiple=128)
+    batch = next(iter_batches(records, plan))
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                           num_steps=num_steps)
+    return records, vocab, plan, batch, cfg
+
+
+def test_halo_partition_roundtrip(encoded_viscosity):
+    """Partitioned edges reconstruct exactly the original packed edge set."""
+    from ionic_mpnn_tpu.parallel.halo_partition import partition_graphs_halo
+
+    mesh = make_mesh(MeshConfig())
+    n_dev = mesh.shape["data"]
+    _, _, _, batch, _ = _halo_setup(encoded_viscosity, n_dev)
+    g = batch.cation
+    hp = partition_graphs_halo(g, n_dev)
+    ns = g.atom_ids.shape[0] // n_dev
+
+    got = set()
+    for k in range(n_dev):
+        for s, d, b, m in zip(hp.i_src[k], hp.i_dst[k], hp.i_bond[k], hp.i_mask[k]):
+            if m:
+                got.add((int(s) + k * ns, int(d) + k * ns, int(b)))
+        for s, d, b, m in zip(hp.b_src_ext[k], hp.b_dst[k], hp.b_bond[k], hp.b_mask[k]):
+            if m:
+                got.add((int(s) - hp.halo + k * ns, int(d) + k * ns, int(b)))
+    want = {
+        (int(s), int(d), int(b))
+        for s, d, b, m in zip(g.src, g.dst, g.bond_ids, g.edge_mask)
+        if m
+    }
+    assert got == want
+    # node arrays are a pure reshape
+    np.testing.assert_array_equal(hp.atom_ids.reshape(-1), np.asarray(g.atom_ids))
+
+
+def test_halo_ep_step_matches_single_device(encoded_viscosity):
+    from ionic_mpnn_tpu.parallel.halo_partition import (
+        make_halo_ep_train_step,
+        partition_halo_batch,
+    )
+
+    mesh = make_mesh(MeshConfig())
+    n_dev = mesh.shape["data"]
+    records, vocab, plan, batch, cfg = _halo_setup(encoded_viscosity, n_dev)
+    tcfg = TrainConfig(seed=0)
+    optimizer = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+
+    model = ViscosityModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    def new_state():
+        p = jax.tree.map(jnp.array, variables["params"])
+        return TrainState(step=jnp.int32(0), params=p, batch_stats={},
+                          opt_state=optimizer.init(p), rng=jax.random.PRNGKey(3))
+
+    step_single = make_train_step(model, cfg, tcfg, optimizer)
+    s_ref, m_ref = step_single(new_state(), batch)
+
+    halo_step = make_halo_ep_train_step(cfg, tcfg, optimizer, mesh)
+    halo_batch = partition_halo_batch(batch, n_dev)
+    s_halo, m_halo = halo_step(new_state(), halo_batch)
+
+    np.testing.assert_allclose(float(m_halo["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(s_ref.params)[0])
+    flat_halo = dict(jax.tree_util.tree_flatten_with_path(s_halo.params)[0])
+    assert flat_ref.keys() == flat_halo.keys()
+    for k in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_halo[k]), np.asarray(flat_ref[k]),
+            rtol=2e-3, atol=3e-6, err_msg=str(k),
+        )
+
+
+def test_halo_ep_comm_volume_is_boundary_sized(encoded_viscosity):
+    """Compiled-HLO evidence: no per-step O(N·D) all-reduce — collectives
+    are (halo, D) permutes + (B, D) pool psums + one grad psum."""
+    from ionic_mpnn_tpu.parallel.halo_partition import (
+        collective_stats,
+        make_halo_ep_train_step,
+        partition_halo_batch,
+    )
+
+    mesh = make_mesh(MeshConfig())
+    n_dev = mesh.shape["data"]
+    records, vocab, plan, batch, cfg = _halo_setup(encoded_viscosity, n_dev)
+    tcfg = TrainConfig(seed=0)
+    optimizer = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+    model = ViscosityModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    p = jax.tree.map(jnp.array, variables["params"])
+    state = TrainState(step=jnp.int32(0), params=p, batch_stats={},
+                       opt_state=optimizer.init(p), rng=jax.random.PRNGKey(3))
+    halo_step = make_halo_ep_train_step(cfg, tcfg, optimizer, mesh)
+    halo_batch = partition_halo_batch(batch, n_dev)
+
+    stats = collective_stats(halo_step, state, halo_batch)
+    D = cfg.atom_dim
+    param_bytes = max(int(np.prod(np.asarray(x).shape)) * 4
+                      for x in jax.tree.leaves(p))
+    pool_bytes = halo_batch.cation.n_graphs * D * 4
+    # every all-reduce is gradient- or pool-sized; nothing node-axis-sized
+    # (the v1 design all-reduced the FULL (N, D) node aggregate per step)
+    n_total = halo_batch.cation.atom_ids.shape[1] * n_dev
+    assert n_total * D * 4 > max(param_bytes, pool_bytes)  # discriminating
+    for b in stats["all-reduce"]:
+        assert b <= max(param_bytes, pool_bytes) * 1.5, stats
+    # halo permutes exist and are (halo, D)-sized
+    assert stats["collective-permute"], stats
+    halo_bytes = halo_batch.cation.halo * D * 4
+    for b in stats["collective-permute"]:
+        assert b <= 2 * halo_bytes, stats
+
+
+def test_halo_ep_descends(encoded_viscosity):
+    from ionic_mpnn_tpu.parallel.halo_partition import (
+        make_halo_ep_train_step,
+        partition_halo_batch,
+    )
+
+    mesh = make_mesh(MeshConfig())
+    n_dev = mesh.shape["data"]
+    records, vocab, plan, batch, cfg = _halo_setup(encoded_viscosity, n_dev,
+                                                   num_steps=1)
+    tcfg = TrainConfig()
+    optimizer = make_optimizer()
+    model = ViscosityModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    p = jax.tree.map(jnp.array, variables["params"])
+    state = TrainState(step=jnp.int32(0), params=p, batch_stats={},
+                       opt_state=optimizer.init(p), rng=jax.random.PRNGKey(0))
+    halo_step = make_halo_ep_train_step(cfg, tcfg, optimizer, mesh)
+    halo_batch = partition_halo_batch(batch, n_dev)
+    losses = []
+    for _ in range(8):
+        state, m = halo_step(state, halo_batch)
+        losses.append(float(m["loss"]))
+    assert min(losses[4:]) < losses[0]
+    assert int(state.step) == 8
