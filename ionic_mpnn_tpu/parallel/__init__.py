@@ -8,6 +8,12 @@ from .edge_partition import (
     partition_batch_edges,
     partition_edges,
 )
+from .halo_partition import (
+    collective_stats,
+    make_halo_ep_train_step,
+    partition_graphs_halo,
+    partition_halo_batch,
+)
 from .tensor_parallel import param_specs, shard_params
 from .distributed import host_record_shard, initialize_distributed
 
@@ -23,6 +29,10 @@ __all__ = [
     "make_ep_train_step",
     "partition_batch_edges",
     "partition_edges",
+    "collective_stats",
+    "make_halo_ep_train_step",
+    "partition_graphs_halo",
+    "partition_halo_batch",
     "param_specs",
     "shard_params",
     "host_record_shard",
