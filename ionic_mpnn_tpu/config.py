@@ -114,7 +114,11 @@ class TrainConfig:
     batch_size: int = 32
     early_stopping_patience: int = 50
     seed: int = 0
-    steps_per_call: int = 1  # fold K train steps into one jitted lax.scan
+    # fold K train steps into one jitted lax.scan per dispatch; <= 0 = AUTO
+    # (8 on accelerators — dispatch amortization, measured 7.1x through the
+    # remote tunnel — 1 on CPU). Composes with DP: the scan runs inside
+    # the shard_map body (parallel/data_parallel.py).
+    steps_per_call: int = 0
     use_native_loader: bool = True  # C++ packer for epoch batching when built
     normalize_y: bool = False  # z-score on train stats (MP task)
     normalize_guard: str = "or1"  # "or1" (train_melting_point.py:256) | "eps" (transfer :174-181)

@@ -54,12 +54,23 @@ def make_dp_train_step(
     mesh: Mesh,
     data_axis: str = "data",
     has_batch_stats: bool = False,
+    steps_per_call: int = 1,
 ) -> Callable[[TrainState, IonPairBatch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the SPMD train step.
 
-    Input batch: a stacked :class:`IonPairBatch` with leading axis =
-    ``mesh.shape[data_axis]``, sharded over the data axis (see
-    :func:`shard_batch`). State is replicated.
+    With ``steps_per_call == 1`` (default): input batch is a stacked
+    :class:`IonPairBatch` with leading axis = ``mesh.shape[data_axis]``,
+    sharded over the data axis (see :func:`shard_batch`); returns
+    ``{"loss", "n"}``. State is replicated.
+
+    With ``steps_per_call == K > 1``: dispatch amortization composed with
+    DP — the input carries TWO leading axes ``(K, n_dev, ...)`` (see
+    :func:`stack_batch_groups`), a ``lax.scan`` over K runs INSIDE the
+    shard_map body so one host dispatch drives K optimizer steps with one
+    gradient psum each, and group-padding all-empty scan slots are
+    skipped under ``lax.cond`` (the predicate is a psum → uniform across
+    shards, so the collective placement stays SPMD-safe). Returns
+    ``{"loss_sum", "n"}`` (sample-weighted, like ``make_scan_train_step``).
     """
     loss_kind, delta, l2 = train_cfg.loss, train_cfg.huber_delta, model_cfg.fp_l2
     n_data = mesh.shape[data_axis]
@@ -110,16 +121,54 @@ def make_dp_train_step(
         return new_state, {"loss": loss, "n": global_n}
 
     state_spec = P()  # replicated
-    batch_spec = P(data_axis)
+
+    if steps_per_call <= 1:
+        sharded = shard_map(
+            per_device_step,
+            mesh=mesh,
+            in_specs=(state_spec, P(data_axis)),
+            out_specs=(state_spec, P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    def per_device_multi(state: TrainState, batches: IonPairBatch):
+        # leaves: (K, 1, ...) — scan over K, squeeze the device axis inside
+        def body(s, b):
+            n_global = jax.lax.psum(jnp.sum(b.sample_mask), data_axis)
+
+            def run(s_):
+                s2, m = per_device_step(s_, b)
+                return s2, (m["loss"], m["n"])
+
+            def skip(s_):
+                return s_, (jnp.float32(0.0), jnp.float32(0.0))
+
+            return jax.lax.cond(n_global > 0, run, skip, s)
+
+        state, (losses, ns) = jax.lax.scan(body, state, batches)
+        return state, {"loss_sum": jnp.sum(losses * ns), "n": jnp.sum(ns)}
 
     sharded = shard_map(
-        per_device_step,
+        per_device_multi,
         mesh=mesh,
-        in_specs=(state_spec, batch_spec),
+        in_specs=(state_spec, P(None, data_axis)),
         out_specs=(state_spec, P()),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def stack_batch_groups(
+    groups: Sequence[Sequence[IonPairBatch]], mesh: Mesh, data_axis: str = "data"
+) -> IonPairBatch:
+    """Stack K groups of n_dev batches into (K, n_dev, ...) leaves, device
+    axis sharded (for ``make_dp_train_step(steps_per_call=K)``)."""
+    stacked = jax.tree.map(
+        lambda *xs: np.stack(xs, axis=0), *[stack_batches(g) for g in groups]
+    )
+    sharding = NamedSharding(mesh, P(None, data_axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
 
 
 def split_for_devices(

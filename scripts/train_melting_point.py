@@ -30,8 +30,8 @@ def main() -> int:
     ap.add_argument("--num-steps", type=int, default=4)
     ap.add_argument("--atom-dim", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--steps-per-call", type=int, default=1,
-                    help="fold K train steps into one jitted lax.scan dispatch")
+    ap.add_argument("--steps-per-call", type=int, default=0,
+                    help="fold K train steps into one jitted lax.scan dispatch; 0 = auto (8 on TPU, 1 on CPU)")
     ap.add_argument("--parity-mode", action="store_true")
     args = ap.parse_args()
 
