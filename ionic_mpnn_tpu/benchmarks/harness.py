@@ -137,9 +137,11 @@ def bench_packed_train_step(
 
     multi_fn = jax.jit(multi, donate_argnums=(0,) if donate else ())
 
+    last = None
     for _ in range(warmup):
         state, last = multi_fn(state, batch)
-    jax.block_until_ready(last)
+    if last is not None:
+        jax.block_until_ready(last)
 
     t0 = time.perf_counter()
     for _ in range(iters):

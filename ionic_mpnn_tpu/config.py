@@ -38,7 +38,7 @@ class ModelConfig:
     head: str = "vft"  # "vft" (viscosity), "mlp" (melting point), "transfer"
     parity_mode: bool = False  # reproduce the reference's atom-0 masking quirk
     compute_dtype: str = "float32"  # "bfloat16" for TPU throughput configs
-    message_impl: str = "gather"  # "gather" | "typed" (MXU type-bucketed)
+    message_impl: str = "gather"  # "gather" | "typed" | "symmetric" (sorted-bwd VJP)
     scatter_impl: str = "xla"  # "xla" | "pallas" (sorted-scatter TPU kernel)
     # Edge-partitioned execution (graph analogue of context parallelism):
     # when set to a mesh axis name and the model runs inside shard_map with

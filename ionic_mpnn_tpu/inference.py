@@ -6,21 +6,31 @@ module is the production path for the screening config (BASELINE.json
 config 5: multi-million-pair ionic-liquid sweeps):
 
   * molecule featurization is cached per unique SMILES (screening sweeps
-    are cation×anion grids — each ion repeats millions of times),
+    are cation×anion grids — each ion repeats millions of times); grid
+    sweeps additionally pre-encode each unique ion ONCE into columnar
+    pools (:class:`IonPool`) so per-batch assembly is pure vectorized
+    numpy + the C++ packer — no per-molecule Python loop,
   * batches are packed to one static shape and streamed through a single
     jitted forward,
-  * optional data-parallel fan-out over a device mesh (stacked per-device
-    batches, ``shard_map`` forward),
-  * online top-k selection so the host never holds the full sweep.
+  * optional data-parallel fan-out over a device mesh (``mesh=`` arg:
+    stacked per-device batches, ``shard_map`` forward),
+  * top-k selection runs ON DEVICE per batch (``lax.top_k``) and a tiny
+    host-side heap merges k·n_batches survivors — the host never holds
+    (or even materializes Python objects for) the full sweep,
+  * host packing overlaps device compute via a pack-ahead producer
+    thread (the ctypes packer call releases the GIL).
 """
 
 from __future__ import annotations
 
 import heapq
+import queue
+import threading
 from dataclasses import dataclass
-from typing import Any, Dict, Iterable, Iterator, List, Sequence, Tuple
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import native
@@ -28,7 +38,68 @@ from .data import Vocab, encode_graph, smiles_to_graph
 from .data.loader import BatchPlan
 from .data.packing import IonPairBatch, PackedGraphs, pack_ion_pair_batch
 
-__all__ = ["ScreeningEngine", "ScreenResult"]
+__all__ = ["ScreeningEngine", "ScreenResult", "IonPool", "SweepReport"]
+
+
+class IonPool:
+    """Unique ions encoded once into flat columnar pools with a fully
+    vectorized multi-molecule gather (no Python loop per molecule).
+
+    Invalid/out-of-vocab SMILES are dropped with an audit list
+    (``skipped``) — same no-silent-failure policy as the data tier.
+    """
+
+    def __init__(self, smiles: Sequence[str], vocab: Vocab):
+        self.smiles: List[str] = []
+        self.skipped: List[Tuple[str, str]] = []
+        atoms, bonds, edges = [], [], []
+        a_start, a_len, e_start, e_len = [], [], [], []
+        na = ne = 0
+        for s in smiles:
+            try:
+                g = encode_graph(smiles_to_graph(s), vocab)
+            except (ValueError, KeyError) as e:
+                self.skipped.append((s, str(e)))
+                continue
+            self.smiles.append(s)
+            atoms.append(np.asarray(g["atom_ids"], np.int32))
+            bonds.append(np.asarray(g["bond_ids"], np.int32))
+            edges.append(np.asarray(g["edge_indices"], np.int32).reshape(-1, 2))
+            a_start.append(na); a_len.append(len(atoms[-1]))
+            e_start.append(ne); e_len.append(len(bonds[-1]))
+            na += a_len[-1]; ne += e_len[-1]
+        self.atoms = np.concatenate(atoms) if atoms else np.zeros(0, np.int32)
+        self.bonds = np.concatenate(bonds) if bonds else np.zeros(0, np.int32)
+        self.edges = (np.concatenate(edges) if edges
+                      else np.zeros((0, 2), np.int32))
+        self.a_start = np.asarray(a_start, np.int64)
+        self.a_len = np.asarray(a_len, np.int64)
+        self.e_start = np.asarray(e_start, np.int64)
+        self.e_len = np.asarray(e_len, np.int64)
+
+    def __len__(self) -> int:
+        return len(self.smiles)
+
+    @staticmethod
+    def _multi_slice(pool: np.ndarray, starts, lens):
+        """Vectorized concatenation of ``pool[starts[i]:starts[i]+lens[i]]``."""
+        total = int(lens.sum())
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        flat = (np.arange(total, dtype=np.int64)
+                - np.repeat(off[:-1], lens) + np.repeat(starts, lens))
+        return pool[flat], off
+
+    def gather(self, idx: np.ndarray):
+        """Columnar arrays for molecules ``idx`` (packer-ready)."""
+        idx = np.asarray(idx, np.int64)
+        atoms, a_off = self._multi_slice(self.atoms, self.a_start[idx], self.a_len[idx])
+        bonds, e_off = self._multi_slice(self.bonds, self.e_start[idx], self.e_len[idx])
+        edges, _ = self._multi_slice(self.edges, self.e_start[idx], self.e_len[idx])
+        return atoms, a_off, bonds, edges, e_off
+
+    def sizes(self, idx: np.ndarray):
+        return self.a_len[idx], self.e_len[idx]
 
 
 @dataclass
@@ -42,8 +113,25 @@ class ScreenResult:
         return self.prediction < other.prediction
 
 
+@dataclass
+class SweepReport:
+    """Outcome of a :meth:`ScreeningEngine.screen_grid` sweep."""
+
+    results: List["ScreenResult"]
+    n_screened: int
+    pairs_per_s: float
+    wall_s: float
+    skipped: List[Tuple[str, str]]
+
+
 class ScreeningEngine:
-    """Batched screening over (cation_smiles, anion_smiles, T) candidates."""
+    """Batched screening over (cation_smiles, anion_smiles, T) candidates.
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a ``data`` axis), forwards
+    fan out data-parallel: ``predict_batch`` accepts up to
+    ``n_dev · batch_size`` candidates, packs one sub-batch per device, and
+    runs a ``shard_map`` forward whose output concatenates over the axis.
+    """
 
     def __init__(
         self,
@@ -53,18 +141,53 @@ class ScreeningEngine:
         plan: BatchPlan,
         batch_stats: Any = None,
         normalizer=None,
+        mesh: Any = None,
     ):
         self.model = model
         self.vocab = vocab
         self.plan = plan
         self.normalizer = normalizer
+        self.mesh = mesh
         self._graph_cache: Dict[str, Any] = {}
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        self._apply = jax.jit(
-            lambda b: model.apply(variables, b, deterministic=True)["pred"]
-        )
+        self._fwd = lambda b: model.apply(variables, b, deterministic=True)["pred"]
+        self.n_dev = 1
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+
+            self.n_dev = int(mesh.shape.get("data", 1))
+            self._apply = jax.jit(
+                shard_map(
+                    lambda b: self._fwd(jax.tree.map(lambda x: x[0], b)),
+                    mesh=mesh,
+                    in_specs=(P("data"),),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+            )
+        else:
+            self._apply = jax.jit(self._fwd)
+        self._topk_fns: Dict[Tuple[int, bool], Any] = {}
+
+    def _device_topk(self, k: int, minimize: bool):
+        """Jitted forward + on-device top-k (values de-sign-flipped)."""
+        key = (k, minimize)
+        if key not in self._topk_fns:
+            def fn(batch):
+                pred = self._fwd(batch)
+                score = jnp.where(
+                    batch.sample_mask > 0,
+                    -pred if minimize else pred,
+                    -jnp.inf,
+                )
+                vals, idx = jax.lax.top_k(score, k)
+                return (-vals if minimize else vals), idx
+
+            self._topk_fns[key] = jax.jit(fn)
+        return self._topk_fns[key]
 
     def _encode(self, smiles: str):
         g = self._graph_cache.get(smiles)
@@ -83,8 +206,10 @@ class ScreeningEngine:
         edge_off = np.zeros(len(graphs) + 1, np.int64)
         np.cumsum([g["num_atoms"] for g in graphs], out=atom_off[1:])
         np.cumsum([len(g["bond_ids"]) for g in graphs], out=edge_off[1:])
-        atoms = np.concatenate([g["_atoms"] for g in graphs])
-        bonds = np.concatenate([g["_bonds"] for g in graphs])
+        atoms = (np.concatenate([g["_atoms"] for g in graphs])
+                 if graphs else np.zeros(0, np.int32))
+        bonds = (np.concatenate([g["_bonds"] for g in graphs])
+                 if graphs else np.zeros(0, np.int32))
         edges = (
             np.concatenate([g["_edges"] for g in graphs])
             if any(len(g["_edges"]) for g in graphs)
@@ -111,11 +236,8 @@ class ScreeningEngine:
             self.plan.target_key: 0.0,
         }
 
-    def predict_batch(self, candidates: Sequence[Tuple[str, str, float]]) -> np.ndarray:
-        """Predict up to plan.batch_size candidates; returns (len,) floats."""
+    def _build_batch(self, candidates: Sequence[Tuple[str, str, float]]) -> IonPairBatch:
         n = len(candidates)
-        if n > self.plan.batch_size:
-            raise ValueError(f"{n} candidates > batch size {self.plan.batch_size}")
         if native.native_available():
             cat_graphs = [self._encode(c) for c, _, _ in candidates]
             an_graphs = [self._encode(a) for _, a, _ in candidates]
@@ -143,7 +265,30 @@ class ScreeningEngine:
                 with_temperature=self.plan.with_temperature,
                 duplicate_edges=self.plan.duplicate_edges,
             )
-        pred = np.asarray(self._apply(batch))[:n]
+        return batch
+
+    def predict_batch(self, candidates: Sequence[Tuple[str, str, float]]) -> np.ndarray:
+        """Predict up to ``n_dev · plan.batch_size`` candidates → (len,)."""
+        n = len(candidates)
+        B = self.plan.batch_size
+        if n > self.n_dev * B:
+            raise ValueError(f"{n} candidates > {self.n_dev} x batch {B}")
+        if self.n_dev == 1:
+            if n > B:
+                raise ValueError(f"{n} candidates > batch size {B}")
+            pred = np.asarray(self._apply(self._build_batch(candidates)))[:n]
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            chunks = [list(candidates[i * B:(i + 1) * B]) for i in range(self.n_dev)]
+            batches = [self._build_batch(c) for c in chunks]
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+            sharding = NamedSharding(self.mesh, P("data"))
+            stacked = jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
+            out = np.asarray(self._apply(stacked))  # (n_dev * B,)
+            pred = np.concatenate(
+                [out[i * B:i * B + len(c)] for i, c in enumerate(chunks)]
+            )
         if self.normalizer is not None:
             pred = self.normalizer.inverse(pred)
         return pred
@@ -193,3 +338,130 @@ class ScreeningEngine:
             results.sort(key=lambda r: r.prediction, reverse=not minimize)
             for r in results:
                 yield r
+
+    # ------------------------------------------------------------------
+    # Grid sweeps (BASELINE config 5): vectorized packing + pack-ahead
+    # pipeline + on-device top-k
+    # ------------------------------------------------------------------
+
+    def _pack_side_cols(self, cols) -> PackedGraphs:
+        atoms, a_off, bonds, edges, e_off = cols
+        arrays = native.pack_graphs_native(
+            atoms, a_off, bonds, edges, e_off,
+            self.plan.node_cap, self.plan.edge_cap,
+            duplicate_edges=self.plan.duplicate_edges,
+        )
+        a, b, s, d, ng, nl, nm, em = arrays
+        return PackedGraphs(
+            atom_ids=a, bond_ids=b, src=s, dst=d, node_graph=ng,
+            node_local=nl, node_mask=nm, edge_mask=em,
+            n_graphs=self.plan.batch_size,
+        )
+
+    def screen_grid(
+        self,
+        cations: Sequence[str],
+        anions: Sequence[str],
+        temperatures,
+        top_k: int = 100,
+        minimize: bool = True,
+        pack_ahead: int = 4,
+        progress_every: int = 0,
+    ) -> "SweepReport":
+        """Sweep the full cation x anion x T grid; returns the global top-k.
+
+        Unique ions are encoded once (:class:`IonPool`); every batch is
+        assembled with vectorized numpy + the C++ packer in a producer
+        thread that runs ahead of the device (bounded queue), and top-k
+        runs on device per batch so the host only merges k survivors per
+        batch. Invalid SMILES are dropped once, at pool build, with audit.
+        """
+        import time as _time
+
+        if not native.native_available():
+            raise RuntimeError("screen_grid requires the native packer")
+        cat_pool = IonPool(cations, self.vocab)
+        an_pool = IonPool(anions, self.vocab)
+        temps = np.atleast_1d(np.asarray(temperatures, np.float32))
+        C, A, T = len(cat_pool), len(an_pool), len(temps)
+        total = C * A * T
+        B = self.plan.batch_size
+        k_batch = int(min(top_k, B))
+        topk_fn = self._device_topk(k_batch, minimize)
+
+        def build(g0: int, g1: int):
+            gids = np.arange(g0, g1, dtype=np.int64)
+            ci = gids // (A * T)
+            ai = (gids // T) % A
+            ti = gids % T
+            n = len(gids)
+            temp = np.zeros((B, 1), np.float32)
+            mask = np.zeros(B, np.float32)
+            if self.plan.with_temperature:
+                temp[:n, 0] = temps[ti]
+            mask[:n] = 1.0
+            batch = IonPairBatch(
+                cation=self._pack_side_cols(cat_pool.gather(ci)),
+                anion=self._pack_side_cols(an_pool.gather(ai)),
+                temperature=temp,
+                y=np.zeros(B, np.float32),
+                sample_mask=mask,
+            )
+            return batch, ci, ai, ti
+
+        q: "queue.Queue" = queue.Queue(maxsize=pack_ahead)
+
+        def producer():
+            for g0 in range(0, total, B):
+                build_args = build(g0, min(g0 + B, total))
+                q.put(build_args)
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        t0 = _time.perf_counter()
+        thread.start()
+
+        heap: List[Tuple[float, int, int, int]] = []  # (key, ci, ai, ti)
+        done = 0
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            batch, ci, ai, ti = item
+            vals, idx = topk_fn(batch)
+            vals = np.asarray(vals)
+            idx = np.asarray(idx)
+            n = len(ci)
+            for v, i in zip(vals, idx):
+                if i >= n:  # padded slot (masked to -inf score)
+                    continue
+                key = -float(v) if minimize else float(v)
+                entry = (key, int(ci[i]), int(ai[i]), int(ti[i]))
+                if len(heap) < top_k:
+                    heapq.heappush(heap, entry)
+                else:
+                    heapq.heappushpop(heap, entry)
+            done += n
+            if progress_every and done % progress_every < B:
+                dt = _time.perf_counter() - t0
+                print(f"[screen] {done}/{total} ({done/dt:,.0f} pairs/s)",
+                      flush=True)
+        thread.join()
+        dt = _time.perf_counter() - t0
+
+        results = []
+        for key, ci_, ai_, ti_ in sorted(heap, reverse=True):
+            pred = -key if minimize else key
+            if self.normalizer is not None:
+                pred = float(self.normalizer.inverse(np.float32(pred)))
+            results.append(ScreenResult(
+                cation=cat_pool.smiles[ci_], anion=an_pool.smiles[ai_],
+                temperature=float(temps[ti_]), prediction=pred,
+            ))
+        return SweepReport(
+            results=results,
+            n_screened=total,
+            pairs_per_s=total / dt,
+            wall_s=dt,
+            skipped=cat_pool.skipped + an_pool.skipped,
+        )

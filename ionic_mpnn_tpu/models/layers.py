@@ -24,6 +24,7 @@ from flax import linen as nn
 from ..ops.message import (
     bond_type_matrices,
     message_pass_aggregate,
+    message_pass_aggregate_symmetric,
     message_pass_aggregate_typed,
 )
 
@@ -88,6 +89,12 @@ class BondMatrixMessage(nn.Module):
         h = node_states.astype(self.compute_dtype)
         if self.impl == "typed":
             agg = message_pass_aggregate_typed(h, bond_ids, src, dst, m_table, edge_mask)
+        elif self.impl == "symmetric":
+            # sorted-backward custom VJP; requires reversal-closed edges
+            # (guaranteed by the featurizer/packer contract)
+            agg = message_pass_aggregate_symmetric(
+                h, bond_ids, src, dst, m_table, edge_mask
+            )
         else:
             agg = message_pass_aggregate(
                 h, bond_ids, src, dst, m_table, edge_mask, scatter=self.scatter

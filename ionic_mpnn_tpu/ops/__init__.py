@@ -11,6 +11,7 @@ from .message import (
     edge_messages_dense,
     edge_messages_from_table,
     message_pass_aggregate,
+    message_pass_aggregate_symmetric,
     message_pass_aggregate_typed,
     parity_edge_mask,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "edge_messages_dense",
     "edge_messages_from_table",
     "message_pass_aggregate",
+    "message_pass_aggregate_symmetric",
     "message_pass_aggregate_typed",
     "parity_edge_mask",
     "gated_update",

@@ -32,6 +32,8 @@ The parity quirk (edges touching each molecule's atom 0 silently dropped,
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +43,7 @@ __all__ = [
     "edge_messages_dense",
     "parity_edge_mask",
     "message_pass_aggregate",
+    "message_pass_aggregate_symmetric",
 ]
 
 
@@ -147,6 +150,75 @@ def message_pass_aggregate(
     return jax.ops.segment_sum(
         messages, dst, num_segments=node_states.shape[0], indices_are_sorted=True
     )
+
+
+def _mpa_fwd_impl(node_states, bond_ids, src, dst, m_table, edge_mask):
+    messages = edge_messages_from_table(node_states, bond_ids, src, m_table)
+    messages = messages * edge_mask[:, None].astype(messages.dtype)
+    return jax.ops.segment_sum(
+        messages, dst, num_segments=node_states.shape[0], indices_are_sorted=True
+    )
+
+
+@jax.custom_vjp
+def message_pass_aggregate_symmetric(
+    node_states: jnp.ndarray,  # (N, D)
+    bond_ids: jnp.ndarray,  # (E,)
+    src: jnp.ndarray,  # (E,)
+    dst: jnp.ndarray,  # (E,) sorted
+    m_table: jnp.ndarray,  # (V, D, D)
+    edge_mask: jnp.ndarray,  # (E,) bool
+) -> jnp.ndarray:
+    """message+aggregate with a SORTED backward (graph-symmetry custom VJP).
+
+    PRECONDITION: the edge list is closed under reversal with equal bond
+    ids — true for every batch the featurizer/packer emits (each chemical
+    bond is stored in both directions with one bond feature,
+    ``featurize.py:54-63``; pad edges are self-loops; the parity quirk
+    mask is symmetric in src/dst).
+
+    Why: standard AD transposes the source gather ``h[src]`` into a
+    scatter-add BY SRC — an unsorted scatter, XLA's weakest op on TPU.
+    Under edge-reversal symmetry the same sum re-indexes as a scatter BY
+    DST::
+
+        dL/dh[m] = Σ_{e: src_e = m} M[b_e]^T g[dst_e]
+                 = Σ_{e: dst_e = m} M[b_e]^T g[src_e]     (pair e ↔ rev(e))
+
+    i.e. one gather (g at src) + the transposed bond matrices + the SAME
+    sorted segment-sum as the forward. The m_table cotangent reuses XLA's
+    AD of the einsum/gather (already fused well).
+    """
+    return _mpa_fwd_impl(node_states, bond_ids, src, dst, m_table, edge_mask)
+
+
+def _mpa_sym_fwd(node_states, bond_ids, src, dst, m_table, edge_mask):
+    out = _mpa_fwd_impl(node_states, bond_ids, src, dst, m_table, edge_mask)
+    return out, (node_states, bond_ids, src, dst, m_table, edge_mask)
+
+
+def _mpa_sym_bwd(res, g):
+    node_states, bond_ids, src, dst, m_table, edge_mask = res
+    maskf = edge_mask[:, None].astype(g.dtype)
+    # h-grad via the symmetric rewrite: gather g at src, transposed matvec,
+    # sorted segment-sum by dst (identical memory pattern to the forward).
+    g_src = jnp.take(g, src, axis=0)  # (E, D)
+    m_edge_t = jnp.take(m_table, bond_ids, axis=0)  # (E, D, D)
+    t = jnp.einsum("eji,ej->ei", m_edge_t, g_src,
+                   preferred_element_type=jnp.float32) * maskf
+    g_h = jax.ops.segment_sum(
+        t, dst, num_segments=node_states.shape[0], indices_are_sorted=True
+    )
+    # m_table-grad: replay XLA's own (well-fused) AD for just that input.
+    _, vjp_m = jax.vjp(
+        lambda m: _mpa_fwd_impl(node_states, bond_ids, src, dst, m, edge_mask),
+        m_table,
+    )
+    (g_m,) = vjp_m(g)
+    return (g_h, None, None, None, g_m, None)
+
+
+message_pass_aggregate_symmetric.defvjp(_mpa_sym_fwd, _mpa_sym_bwd)
 
 
 def message_pass_aggregate_typed(

@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""First-in-process component microbenchmarks for the train step.
+
+Each invocation measures ONE config (the axon backend's second-executable
+slowdown forbids more per process); the persistent compile cache makes
+repeat invocations cheap. Shapes mirror `bench.py` at the given batch.
+
+  step-gather | step-symmetric | step-typed : full train step, scan-8
+  fwd-only     : forward+loss only, scan-8
+  mpa-gather | mpa-symmetric | mpa-typed    : message+aggregate fwd+bwd,
+                 scan of 64 ops/dispatch (= 2 ions x 4 MP steps x 8)
+  gru-only     : gated update fwd+bwd, scan of 64
+  cost         : XLA cost_analysis of the full step (no timing)
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bench_shapes(bs):
+    from ionic_mpnn_tpu.benchmarks import make_bench_dataset
+    from ionic_mpnn_tpu.data import iter_batches, plan_capacities
+
+    records, vocab = make_bench_dataset(max(bs, 512))
+    plan = plan_capacities(records, batch_size=bs)
+    batch = next(iter_batches(records[:bs], plan))
+    return records, vocab, plan, batch
+
+
+def _time(fn, state, arg, iters=30, warmup=5):
+    last = None
+    for _ in range(warmup):
+        state, last = fn(state, arg)
+    jax.block_until_ready(last)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, last = fn(state, arg)
+    jax.block_until_ready(last)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    which = sys.argv[1]
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+
+    if which.startswith("step-") or which == "fwd-only" or which == "cost":
+        from ionic_mpnn_tpu.benchmarks import bench_packed_train_step, make_bench_dataset
+
+        records, vocab = make_bench_dataset(max(bs, 512))
+        if which == "fwd-only":
+            from ionic_mpnn_tpu.config import TrainConfig, viscosity_config
+            from ionic_mpnn_tpu.data import iter_batches, plan_capacities
+            from ionic_mpnn_tpu.models import ViscosityModel
+
+            plan = plan_capacities(records, batch_size=bs)
+            batch = next(iter_batches(records[:bs], plan))
+            batch = jax.tree.map(jnp.asarray, batch)
+            cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
+            model = ViscosityModel(cfg)
+            variables = model.init(jax.random.PRNGKey(0), batch)
+
+            def multi(params, b):
+                def body(c, _):
+                    out = model.apply({"params": params}, b)["pred"]
+                    return c + jnp.sum(out), None
+
+                s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=8)
+                return params, s
+
+            fn = jax.jit(multi)
+            dt = _time(fn, variables["params"], batch) / 8
+            print(json.dumps({"which": which, "bs": bs, "us_per_step": dt * 1e6}))
+            return
+        if which == "cost":
+            from ionic_mpnn_tpu.config import TrainConfig, viscosity_config
+            from ionic_mpnn_tpu.data import iter_batches, plan_capacities
+            from ionic_mpnn_tpu.models import ViscosityModel
+            from ionic_mpnn_tpu.training.loop import TrainState, make_train_step
+            from ionic_mpnn_tpu.training.optim import make_optimizer
+
+            plan = plan_capacities(records, batch_size=bs)
+            batch = next(iter_batches(records[:bs], plan))
+            batch = jax.tree.map(jnp.asarray, batch)
+            cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
+            tcfg = TrainConfig()
+            model = ViscosityModel(cfg)
+            variables = model.init(jax.random.PRNGKey(0), batch)
+            optimizer = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+            state = TrainState(step=jnp.int32(0), params=variables["params"],
+                               batch_stats={}, opt_state=optimizer.init(variables["params"]),
+                               rng=jax.random.PRNGKey(0))
+            step = make_train_step(model, cfg, tcfg, optimizer)
+            ca = step.lower(state, batch).compile().cost_analysis()
+            keep = {k: v for k, v in ca.items()
+                    if k in ("flops", "bytes accessed", "transcendentals",
+                             "optimal_seconds", "bytes accessed output",
+                             "utilization operand 0 {}")}
+            print(json.dumps({"which": which, "bs": bs, "cost": keep}))
+            return
+        impl = which.split("-", 1)[1]
+        r = bench_packed_train_step(records, vocab, batch_size=bs, iters=30,
+                                    warmup=5, inner=8, message_impl=impl)
+        print(json.dumps({
+            "which": which, "bs": bs,
+            "us_per_step": 1e6 / r.steps_per_s,
+            "edges_per_s": r.edges_per_s,
+        }))
+        return
+
+    # op-level microbenches on bench-plan shapes
+    records, vocab, plan, batch = _bench_shapes(bs)
+    g = batch.cation
+    D, F, V = 32, 8, vocab.bond_vocab_size + 1
+    rng = np.random.default_rng(0)
+    h = jnp.array(rng.normal(size=(plan.node_cap, D)).astype(np.float32))
+    table = jnp.array(rng.normal(size=(V, F)).astype(np.float32))
+    W = jnp.array((rng.normal(size=(F, D, D)) * 0.2).astype(np.float32))
+    cot = jnp.array(rng.normal(size=h.shape).astype(np.float32))
+    bond = jnp.array(g.bond_ids)
+    src = jnp.array(g.src)
+    dst = jnp.array(g.dst)
+    mask = jnp.array(g.edge_mask)
+    n_real_edges = int(np.asarray(g.edge_mask).sum())
+
+    if which.startswith("mpa-"):
+        from ionic_mpnn_tpu.ops import (
+            bond_type_matrices,
+            message_pass_aggregate,
+            message_pass_aggregate_symmetric,
+            message_pass_aggregate_typed,
+        )
+
+        impl = which.split("-", 1)[1]
+
+        def one(h_, W_):
+            m_table = bond_type_matrices(table, W_)
+            if impl == "typed":
+                out = message_pass_aggregate_typed(h_, bond, src, dst, m_table, mask)
+            elif impl == "symmetric":
+                out = message_pass_aggregate_symmetric(h_, bond, src, dst, m_table, mask)
+            else:
+                out = message_pass_aggregate(h_, bond, src, dst, m_table, mask)
+            return jnp.sum(out * cot)
+
+        grad_fn = jax.value_and_grad(one, argnums=(0, 1))
+
+        def multi(carry, _arg):
+            h_, W_ = carry
+            def body(c, _):
+                hh, WW = c
+                v, (gh, gW) = grad_fn(hh, WW)
+                return (hh + 1e-6 * gh, WW + 1e-6 * gW), v
+            (h2, W2), vs = jax.lax.scan(body, (h_, W_), None, length=64)
+            return (h2, W2), vs[-1]
+
+        fn = jax.jit(multi)
+        dt = _time(fn, (h, W), None) / 64
+        print(json.dumps({
+            "which": which, "bs": bs, "us_per_op": dt * 1e6,
+            "edges_per_s_fwd_bwd": n_real_edges / dt,
+        }))
+        return
+
+    if which == "gru-only":
+        from ionic_mpnn_tpu.ops.gru import GATED_UPDATE_PARAM_SHAPES, gated_update
+
+        shapes = GATED_UPDATE_PARAM_SHAPES(D)
+        params = {k: jnp.array(rng.normal(size=s).astype(np.float32) * 0.1)
+                  for k, s in shapes.items()}
+        agg = jnp.array(rng.normal(size=h.shape).astype(np.float32))
+
+        def one(h_, p_):
+            return jnp.sum(gated_update(h_, agg, p_) * cot)
+
+        grad_fn = jax.value_and_grad(one, argnums=(0, 1))
+
+        def multi(carry, _arg):
+            h_, p_ = carry
+            def body(c, _):
+                hh, pp = c
+                v, (gh, gp) = grad_fn(hh, pp)
+                return (hh + 1e-6 * gh,
+                        jax.tree.map(lambda a, b: a + 1e-6 * b, pp, gp)), v
+            c2, vs = jax.lax.scan(body, (h_, p_), None, length=64)
+            return c2, vs[-1]
+
+        fn = jax.jit(multi)
+        dt = _time(fn, (h, params), None) / 64
+        print(json.dumps({"which": which, "bs": bs, "us_per_op": dt * 1e6}))
+        return
+
+    raise SystemExit(f"unknown which {which}")
+
+
+if __name__ == "__main__":
+    main()
