@@ -22,7 +22,12 @@ import random
 from pathlib import Path
 from typing import Dict, List, Tuple
 
-__all__ = ["generate_ionic_liquid_raw", "CATION_TEMPLATES", "ANION_SMILES"]
+__all__ = [
+    "generate_ionic_liquid_raw",
+    "CATION_TEMPLATES",
+    "ANION_SMILES",
+    "enumerate_cations",
+]
 
 
 def _alkyl(n: int) -> str:
@@ -159,3 +164,63 @@ def generate_ionic_liquid_raw(
             f.write(f"{cid}_{aid} {mp:.2f}\n")
 
     return {"ca": ca_path, "viscosity": vis_path, "mp": mp_path}
+
+
+# ---------------------------------------------------------------------------
+# Combinatorial cation library for large screening sweeps (BASELINE config 5)
+# ---------------------------------------------------------------------------
+
+_CHAIN_TERMINALS = [
+    ("", ""),            # plain alkyl
+    ("O", "O"),          # terminal hydroxyl
+    ("OC", "OMe"),       # methyl ether
+    ("F", "F"),          # fluoro
+    ("C#N", "nitrile"),  # cyano
+    ("C=C", "vinyl"),    # terminal alkene
+    ("C(=O)OC", "ester"),
+    ("c1ccccc1", "benzyl"),
+]
+
+_IM_RING = ["", "C"]          # 2-position: H or methyl
+_PY_RING = ["", "C"]          # 3-position: H or methyl
+
+
+def _chain(n: int, terminal: str) -> str:
+    return "C" * max(n, 1) + terminal
+
+
+def enumerate_cations(n: int) -> List[str]:
+    """Deterministically enumerate up to ``n`` structurally distinct cation
+    SMILES from functionalized imidazolium / pyridinium / pyrrolidinium /
+    ammonium / phosphonium families (chain lengths x terminal groups x
+    ring substitution). Used by large grid sweeps; all outputs parse with
+    the built-in featurizer."""
+    out: List[str] = []
+    seen = set()
+
+    def add(smi: str) -> bool:
+        if smi not in seen:
+            seen.add(smi)
+            out.append(smi)
+        return len(out) >= n
+
+    # interleave families and sizes so any prefix is diverse
+    for n1 in range(1, 17):
+        for t1, _ in _CHAIN_TERMINALS:
+            for r2 in _IM_RING:
+                for n2 in range(1, 9):
+                    # 1-R1-3-R2-imidazolium, optionally 2-methylated
+                    smi = f"{_chain(n1, t1)}n1cc[n+]({_chain(n2, '')})c1{r2}"
+                    if add(smi):
+                        return out
+            for rp in _PY_RING:
+                ring = f"[n+]1ccc({rp})cc1" if rp else "[n+]1ccccc1"
+                if add(f"{_chain(n1, t1)}{ring}"):
+                    return out
+            if add(f"C[N+]1({_chain(n1, t1)})CCCC1"):
+                return out
+            if add(f"C[N+](C)(C)({_chain(n1, t1)})"):
+                return out
+            if add(f"CC[P+](CC)(CC){_chain(n1, t1)}"):
+                return out
+    return out

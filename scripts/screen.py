@@ -25,7 +25,17 @@ def main() -> int:
     ap.add_argument("--top-k", type=int, default=20)
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--out", default="results/screen_top.csv")
+    ap.add_argument("--grid-cations", type=int, default=0,
+                    help="grid sweep: enumerate N synthetic cations x anions "
+                         "x temperatures via the vectorized screen_grid path")
+    ap.add_argument("--temperatures", default="",
+                    help="comma-separated T grid for --grid-cations sweeps")
+    ap.add_argument("--progress-every", type=int, default=0)
     args = ap.parse_args()
+
+    from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from ionic_mpnn_tpu.config import viscosity_config
     from ionic_mpnn_tpu.data import Vocab
@@ -74,9 +84,28 @@ def main() -> int:
     engine = ScreeningEngine(model, restored["params"], vocab, plan,
                              normalizer=restored.get("normalizer"))
 
-    t0 = time.time()
-    results = list(engine.screen(candidates(), top_k=args.top_k, minimize=True))
-    dt = time.time() - t0
+    if args.grid_cations:
+        # Vectorized grid sweep (BASELINE config 5 path): synthetic cation
+        # family enumerated combinatorially x anion library x T grid.
+        from ionic_mpnn_tpu.data.synthetic import enumerate_cations
+
+        grid_cations = enumerate_cations(args.grid_cations)
+        grid_anions = [s for _, s, _ in ANION_SMILES]
+        temps = ([float(x) for x in args.temperatures.split(",") if x]
+                 or [args.temperature])
+        t0 = time.time()
+        report = engine.screen_grid(
+            grid_cations, grid_anions, temps, top_k=args.top_k,
+            minimize=True, progress_every=args.progress_every,
+        )
+        results, dt = report.results, time.time() - t0
+        print(f"grid sweep: {report.n_screened:,} pairs at "
+              f"{report.pairs_per_s:,.0f} pairs/s "
+              f"({len(report.skipped)} ions skipped)")
+    else:
+        t0 = time.time()
+        results = list(engine.screen(candidates(), top_k=args.top_k, minimize=True))
+        dt = time.time() - t0
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)

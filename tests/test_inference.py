@@ -190,3 +190,14 @@ def test_predict_batch_mesh_fanout_matches_single(encoded_viscosity):
     for i in range(0, len(cands), 4):
         exp.extend(single.predict_batch(cands[i:i + 4]))
     np.testing.assert_allclose(got, np.asarray(exp), rtol=2e-5, atol=1e-6)
+
+
+def test_enumerate_cations_unique_and_parseable():
+    from ionic_mpnn_tpu.data import smiles_to_graph
+    from ionic_mpnn_tpu.data.synthetic import enumerate_cations
+
+    cs = enumerate_cations(500)
+    assert len(cs) == 500 and len(set(cs)) == 500
+    for s in cs[::37]:  # spot-check across the family space
+        g = smiles_to_graph(s)
+        assert g["num_atoms"] > 4
