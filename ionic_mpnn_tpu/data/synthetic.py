@@ -26,6 +26,7 @@ __all__ = [
     "generate_ionic_liquid_raw",
     "CATION_TEMPLATES",
     "ANION_SMILES",
+    "SCREEN_ANIONS",
     "enumerate_cations",
 ]
 
@@ -183,6 +184,31 @@ _CHAIN_TERMINALS = [
 
 _IM_RING = ["", "C"]          # 2-position: H or methyl
 _PY_RING = ["", "C"]          # 3-position: H or methyl
+
+# Extended anion library for screening sweeps (kept separate from
+# ANION_SMILES so training/bench vocabularies stay stable). Out-of-vocab
+# entries are dropped per-checkpoint by IonPool with an audit trail.
+SCREEN_ANIONS: List[str] = [
+    "[Cl-]", "[Br-]", "[I-]", "[B-](F)(F)(F)F", "F[P-](F)(F)(F)(F)F",
+    "CC(=O)[O-]", "N#C[N-]C#N", "COS(=O)(=O)[O-]", "C(F)(F)(F)S(=O)(=O)[O-]",
+    "[N+](=O)([O-])[O-]",
+    # beyond the training families — participate when in-vocab
+    "C(F)(F)(F)S(=O)(=O)[N-]S(=O)(=O)C(F)(F)F",  # NTf2
+    "FS(=O)(=O)[N-]S(=O)(=O)F",                  # FSI
+    "[O-]Cl(=O)(=O)=O",                          # perchlorate
+    "[S-]C#N",                                    # thiocyanate
+    "OS(=O)(=O)[O-]",                             # hydrogensulfate
+    "OP(=O)(O)[O-]",                              # dihydrogenphosphate
+    "CS(=O)(=O)[O-]",                             # mesylate
+    "CCS(=O)(=O)[O-]",                            # ethanesulfonate
+    "Cc1ccc(cc1)S(=O)(=O)[O-]",                   # tosylate
+    "CC(O)C(=O)[O-]",                             # lactate
+    "OC(=O)C(=O)[O-]" ,                           # hydrogenoxalate
+    "CCCCS(=O)(=O)[O-]",                          # butanesulfonate
+    "CCC(=O)[O-]",                                # propanoate
+    "CCCC(=O)[O-]",                               # butanoate
+    "C(=O)[O-]",                                  # formate
+]
 
 
 def _chain(n: int, terminal: str) -> str:

@@ -30,6 +30,9 @@ def main() -> int:
                          "x temperatures via the vectorized screen_grid path")
     ap.add_argument("--temperatures", default="",
                     help="comma-separated T grid for --grid-cations sweeps")
+    ap.add_argument("--target-candidates", type=int, default=0,
+                    help="size the T grid (273-393 K) so the sweep reaches "
+                         "this many candidates")
     ap.add_argument("--progress-every", type=int, default=0)
     args = ap.parse_args()
 
@@ -87,12 +90,25 @@ def main() -> int:
     if args.grid_cations:
         # Vectorized grid sweep (BASELINE config 5 path): synthetic cation
         # family enumerated combinatorially x anion library x T grid.
-        from ionic_mpnn_tpu.data.synthetic import enumerate_cations
+        from ionic_mpnn_tpu.data.synthetic import SCREEN_ANIONS, enumerate_cations
 
         grid_cations = enumerate_cations(args.grid_cations)
-        grid_anions = [s for _, s, _ in ANION_SMILES]
-        temps = ([float(x) for x in args.temperatures.split(",") if x]
-                 or [args.temperature])
+        grid_anions = list(SCREEN_ANIONS)
+        temps = [float(x) for x in args.temperatures.split(",") if x]
+        if not temps and args.target_candidates:
+            # how many in-vocab ions will survive decides the T-grid size
+            from ionic_mpnn_tpu.inference import IonPool
+
+            n_pairs = len(IonPool(grid_cations, vocab)) * len(
+                IonPool(grid_anions, vocab)
+            )
+            n_t = max(1, -(-args.target_candidates // max(n_pairs, 1)))
+            import numpy as _np
+
+            temps = [float(t) for t in _np.linspace(273.15, 393.15, n_t)]
+            print(f"T grid: {n_t} points x {n_pairs:,} pairs")
+        elif not temps:
+            temps = [args.temperature]
         t0 = time.time()
         report = engine.screen_grid(
             grid_cations, grid_anions, temps, top_k=args.top_k,
