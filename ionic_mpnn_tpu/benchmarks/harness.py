@@ -90,17 +90,19 @@ def bench_packed_train_step(
     inner: int = 1,
     model_kind: str = "viscosity",
     donate: bool = True,
+    gru_impl: str = "reference",
 ) -> BenchResult:
     if model_kind == "mp":
         cfg = melting_point_config(
             vocab.atom_vocab_size, vocab.bond_vocab_size,
             num_steps=num_steps, compute_dtype=compute_dtype,
-            message_impl=message_impl,
+            message_impl=message_impl, gru_impl=gru_impl,
         )
     else:
         cfg = viscosity_config(
             vocab.atom_vocab_size, vocab.bond_vocab_size,
-            num_steps=num_steps, compute_dtype=compute_dtype, message_impl=message_impl,
+            num_steps=num_steps, compute_dtype=compute_dtype,
+            message_impl=message_impl, gru_impl=gru_impl,
         )
     tcfg = TrainConfig()
     plan = plan_capacities(records, batch_size=batch_size)

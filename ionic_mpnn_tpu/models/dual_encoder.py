@@ -67,7 +67,8 @@ class IonEncoder(nn.Module):
                 ep_axis=cfg.ep_axis,
                 name=f"bmm_{step}",
             )(h, bond_table, graphs.bond_ids, graphs.src, graphs.dst, edge_mask)
-            h = GatedUpdate(atom_dim=cfg.atom_dim, name=f"gru_{step}")(
+            h = GatedUpdate(atom_dim=cfg.atom_dim, impl=cfg.gru_impl,
+                            name=f"gru_{step}")(
                 h, agg, deterministic=deterministic
             )
 

@@ -72,12 +72,16 @@ def main():
             variables = model.init(jax.random.PRNGKey(0), batch)
 
             def multi(params, b):
-                def body(c, _):
-                    out = model.apply({"params": params}, b)["pred"]
-                    return c + jnp.sum(out), None
+                # perturb params per iteration so XLA can't hoist the
+                # loop-invariant forward out of the scan
+                def body(p, _):
+                    out = model.apply({"params": p}, b)["pred"]
+                    s = jnp.sum(out)
+                    p = jax.tree.map(lambda x: x + 1e-12 * s, p)
+                    return p, s
 
-                s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=8)
-                return params, s
+                p2, ss = jax.lax.scan(body, params, None, length=8)
+                return p2, ss[-1]
 
             fn = jax.jit(multi)
             dt = _time(fn, variables["params"], batch) / 8
@@ -110,8 +114,12 @@ def main():
             print(json.dumps({"which": which, "bs": bs, "cost": keep}))
             return
         impl = which.split("-", 1)[1]
+        gru = "reference"
+        if impl == "fusedgru":
+            impl, gru = "gather", "fused"
         r = bench_packed_train_step(records, vocab, batch_size=bs, iters=30,
-                                    warmup=5, inner=8, message_impl=impl)
+                                    warmup=5, inner=8, message_impl=impl,
+                                    gru_impl=gru)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,

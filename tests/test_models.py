@@ -189,3 +189,45 @@ def test_gradients_flow(vis_batch):
     flat = traverse_util.flatten_dict(unfreeze(grads["params"]))
     nonzero = sum(bool(np.abs(np.asarray(g)).sum() > 0) for g in flat.values())
     assert nonzero > len(flat) * 0.8  # nearly all params receive gradient
+
+
+def test_fused_gru_matches_reference_impl(encoded_viscosity):
+    """gru_impl='fused' is a pure reformulation: same params, same output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ionic_mpnn_tpu.config import viscosity_config
+    from ionic_mpnn_tpu.data import iter_batches, plan_capacities
+    from ionic_mpnn_tpu.models import ViscosityModel
+
+    records = encoded_viscosity["viscosity"][:16]
+    vocab = encoded_viscosity["vocab"]
+    plan = plan_capacities(records, batch_size=16)
+    batch = next(iter_batches(records, plan))
+
+    cfg_ref = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                               num_steps=3)
+    cfg_fused = cfg_ref.replace(gru_impl="fused")
+    m_ref, m_fused = ViscosityModel(cfg_ref), ViscosityModel(cfg_fused)
+    v_ref = m_ref.init(jax.random.PRNGKey(0), batch)
+    v_fused = m_fused.init(jax.random.PRNGKey(0), batch)
+    # identical param trees (checkpoint interchange)
+    assert jax.tree_util.tree_structure(v_ref) == jax.tree_util.tree_structure(v_fused)
+    for a, b in zip(jax.tree.leaves(v_ref), jax.tree.leaves(v_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p_ref = np.asarray(m_ref.apply(v_ref, batch)["pred"])
+    p_fused = np.asarray(m_fused.apply(v_ref, batch)["pred"])
+    np.testing.assert_allclose(p_fused, p_ref, rtol=1e-5, atol=1e-5)
+
+    # grads match too
+    def loss(model, variables):
+        out = model.apply(variables, batch)["pred"]
+        return jnp.mean((out - jnp.asarray(batch.y)) ** 2)
+
+    g_ref = jax.grad(lambda v: loss(m_ref, v))(v_ref)
+    g_fused = jax.grad(lambda v: loss(m_fused, v))(v_ref)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=4e-3, atol=1e-5)
