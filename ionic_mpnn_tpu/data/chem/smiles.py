@@ -510,26 +510,51 @@ def _charged_valence(element: str, default: int, charge: int) -> int:
     return default
 
 
+# Outer-shell (valence) electron counts, RDKit PeriodicTable.getNouterElecs
+_OUTER_ELECS = {
+    "H": 1, "He": 2, "Li": 1, "Be": 2, "B": 3, "C": 4, "N": 5, "O": 6,
+    "F": 7, "Ne": 8, "Na": 1, "Mg": 2, "Al": 3, "Si": 4, "P": 5, "S": 6,
+    "Cl": 7, "K": 1, "Ca": 2, "Zn": 2, "Ga": 3, "Ge": 4, "As": 5, "Se": 6,
+    "Br": 7, "Sn": 4, "Sb": 5, "Te": 6, "I": 7,
+}
+
+_NORBS_TO_HYB = {0: "S", 1: "S", 2: "SP", 3: "SP2", 4: "SP3",
+                 5: "SP3D", 6: "SP3D2"}
+
+
 def _assign_hybridization(mol: Mol) -> None:
-    has_double = [False] * mol.num_atoms
-    has_triple = [False] * mol.num_atoms
-    n_double = [0] * mol.num_atoms
+    """RDKit's steric-number algorithm (MolOps::assignHybridization):
+    norbs = total degree (incl. Hs) + lone pairs, where lone pairs =
+    max(outer_electrons - total_valence - formal_charge, 0) // 2; mapped
+    {2: SP, 3: SP2, 4: SP3, 5: SP3D, 6: SP3D2}, with aromatic atoms
+    floored at SP2 (RDKit reports pyrrole-N/furan-O as SP2). This fixes
+    the hypervalent cases the old multiple-bond heuristic got wrong:
+    sulfonate/sulfate S and phosphate P are SP3, PF6- P is SP3D2,
+    sulfoxide S is SP3."""
+    order_sum = [0.0] * mol.num_atoms
+    degree = [0] * mol.num_atoms
     for b in mol.bonds:
-        if b.order == "DOUBLE":
-            has_double[b.a1] = has_double[b.a2] = True
-            n_double[b.a1] += 1
-            n_double[b.a2] += 1
-        elif b.order == "TRIPLE":
-            has_triple[b.a1] = has_triple[b.a2] = True
+        o = _BOND_ORDER[b.order]
+        order_sum[b.a1] += o
+        order_sum[b.a2] += o
+        degree[b.a1] += 1
+        degree[b.a2] += 1
     for a in mol.atoms:
         if a.element == "H":
             a.hybridization = "S"
-        elif has_triple[a.idx] or n_double[a.idx] >= 2:
-            a.hybridization = "SP"
-        elif a.aromatic or has_double[a.idx]:
+            continue
+        if a.aromatic:
             a.hybridization = "SP2"
-        else:
-            a.hybridization = "SP3"
+            continue
+        outer = _OUTER_ELECS.get(a.element)
+        if outer is None:
+            a.hybridization = "UNSPECIFIED"
+            continue
+        total_degree = degree[a.idx] + a.num_hs
+        total_valence = int(order_sum[a.idx]) + a.num_hs
+        free = outer - total_valence - a.formal_charge
+        norbs = total_degree + max(free, 0) // 2
+        a.hybridization = _NORBS_TO_HYB.get(norbs, "UNSPECIFIED")
 
 
 def _assign_conjugation(mol: Mol) -> None:
