@@ -32,6 +32,11 @@ def main() -> int:
                         help="mp = melting-point config (bond_dim=1024)")
     parser.add_argument("--dense-only", action="store_true",
                         help="internal: measure only the dense reference baseline")
+    parser.add_argument("--packed-only", action="store_true",
+                        help="internal: one first-in-process packed measurement")
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="median-of-N fresh-process repeats (the shared "
+                             "remote chip shows +-40%% run-to-run variance)")
     args = parser.parse_args()
 
     from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
@@ -57,12 +62,53 @@ def main() -> int:
         print(json.dumps({"baseline_edges_per_s": round(dense.edges_per_s, 1)}))
         return 0
 
-    records, vocab = make_bench_dataset(max(args.batch_size, 512))
-    packed = bench_packed_train_step(
-        records, vocab, batch_size=args.batch_size, num_steps=args.num_steps,
-        iters=args.iters, compute_dtype=args.dtype,
-        message_impl=args.message_impl, inner=args.inner, model_kind=args.model,
-    )
+    import jax as _jax
+
+    on_cpu = _jax.devices()[0].platform == "cpu"
+    if args.packed_only or on_cpu or args.repeats <= 1:
+        records, vocab = make_bench_dataset(max(args.batch_size, 512))
+        packed = bench_packed_train_step(
+            records, vocab, batch_size=args.batch_size, num_steps=args.num_steps,
+            iters=args.iters, compute_dtype=args.dtype,
+            message_impl=args.message_impl, inner=args.inner, model_kind=args.model,
+        )
+        if args.packed_only:
+            print(json.dumps({
+                "edges_per_s": packed.edges_per_s,
+                "steps_per_s": packed.steps_per_s,
+                "molecules_per_s": packed.molecules_per_s,
+                "flops_per_step": packed.flops_per_step,
+                "hbm_bytes_per_step": packed.hbm_bytes_per_step,
+            }))
+            return 0
+    else:
+        # median-of-N fresh-process repeats: the second-executable slowdown
+        # forces one measurement per process, and the shared remote chip
+        # needs several samples; the persistent compile cache makes repeats
+        # cheap (ionic_mpnn_tpu/utils/cache.py).
+        samples = []
+        for _ in range(args.repeats):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--packed-only",
+                 "--batch-size", str(args.batch_size),
+                 "--num-steps", str(args.num_steps),
+                 "--iters", str(args.iters), "--inner", str(args.inner),
+                 "--dtype", args.dtype, "--message-impl", args.message_impl,
+                 "--model", args.model],
+                capture_output=True, text=True, timeout=2400,
+            )
+            samples.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        samples.sort(key=lambda s: s["edges_per_s"])
+        med = samples[len(samples) // 2]
+
+        class _P:  # median sample in BenchResult shape
+            edges_per_s = med["edges_per_s"]
+            steps_per_s = med["steps_per_s"]
+            molecules_per_s = med["molecules_per_s"]
+            flops_per_step = med["flops_per_step"]
+            hbm_bytes_per_step = med["hbm_bytes_per_step"]
+
+        packed = _P()
     result = {
         "metric": "message_edges_per_s_fwd_bwd",
         "value": round(packed.edges_per_s, 1),
@@ -74,6 +120,8 @@ def main() -> int:
         "model": args.model,
         "vs_baseline": 1.0,
     }
+    if not (args.packed_only or on_cpu or args.repeats <= 1):
+        result["samples_edges_per_s"] = [round(s["edges_per_s"], 1) for s in samples]
 
     # Absolute efficiency vs the chip roofline (analytic FLOP/byte model,
     # see ionic_mpnn_tpu/benchmarks/roofline.py) — only meaningful on TPU.
