@@ -32,10 +32,10 @@ def test_roofline_model():
     assert cost["flops"] > 3 * 2 * 4 * 2 * 131072 * 32 * 32
 
     # measured time exactly at the roofline -> headroom 1, mfu <= 1
-    roof = roofline_summary(cost, measured_step_seconds=cost["hbm_bytes"] / TPU_V5E.hbm_bw)
-    assert 0 < roof["mfu"] <= 1.0
+    roof = roofline_summary(cost, measured_step_seconds=cost["flops"] / TPU_V5E.peak_flops)
+    assert 0 < roof["mfu"] <= 1.0001
     assert 0.0 <= roof["hbm_bound_fraction"] <= 1.0
     assert roof["roofline_headroom"] >= 0.99
 
-    # the small-D MPNN at these shapes should be HBM-bound in the model
-    assert roof["hbm_bound_fraction"] > 0.5
+    # with the VMEM-resident working set the step is MXU-bound (measured)
+    assert roof["hbm_bound_fraction"] < 0.5
