@@ -344,18 +344,18 @@ class ScreeningEngine:
     # pipeline + on-device top-k
     # ------------------------------------------------------------------
 
-    def _pack_side_cols(self, cols) -> PackedGraphs:
+    def _pack_side_cols(self, cols, plan: BatchPlan) -> PackedGraphs:
         atoms, a_off, bonds, edges, e_off = cols
         arrays = native.pack_graphs_native(
             atoms, a_off, bonds, edges, e_off,
-            self.plan.node_cap, self.plan.edge_cap,
-            duplicate_edges=self.plan.duplicate_edges,
+            plan.node_cap, plan.edge_cap,
+            duplicate_edges=plan.duplicate_edges,
         )
         a, b, s, d, ng, nl, nm, em = arrays
         return PackedGraphs(
             atom_ids=a, bond_ids=b, src=s, dst=d, node_graph=ng,
             node_local=nl, node_mask=nm, edge_mask=em,
-            n_graphs=self.plan.batch_size,
+            n_graphs=plan.batch_size,
         )
 
     def screen_grid(
@@ -375,6 +375,11 @@ class ScreeningEngine:
         thread that runs ahead of the device (bounded queue), and top-k
         runs on device per batch so the host only merges k survivors per
         batch. Invalid SMILES are dropped once, at pool build, with audit.
+
+        Static capacities are computed EXACTLY from the deterministic grid
+        (max per-batch node/edge requirement via one cumsum over the
+        candidate axis) — tight enough to keep multi-million-edge batches
+        inside HBM, safe for every batch in the sweep.
         """
         import time as _time
 
@@ -386,23 +391,51 @@ class ScreeningEngine:
         C, A, T = len(cat_pool), len(an_pool), len(temps)
         total = C * A * T
         B = self.plan.batch_size
+
+        # exact static caps for THIS sweep: per-candidate sizes -> cumsum ->
+        # max over batch windows (per side; the packer pads to these once)
+        def _batch_max(lens_per_candidate: np.ndarray) -> int:
+            csum = np.zeros(total + 1, np.int64)
+            np.cumsum(lens_per_candidate, out=csum[1:])
+            bounds = np.arange(0, total + B, B).clip(max=total)
+            return int(np.diff(csum[bounds]).max())
+
+        # cation-FASTEST enumeration: consecutive candidates cycle through
+        # the cation library, so every batch mixes molecule sizes instead
+        # of packing B copies of the largest cation (tighter caps)
+        gids = np.arange(total, dtype=np.int64)
+        ci_all = gids % C
+        ai_all = (gids // C) % A
+        from .data.packing import round_up
+
+        plan = BatchPlan(
+            batch_size=B,
+            node_cap=round_up(max(_batch_max(cat_pool.a_len[ci_all]),
+                                  _batch_max(an_pool.a_len[ai_all])) , 128),
+            edge_cap=round_up(max(_batch_max(cat_pool.e_len[ci_all]),
+                                  _batch_max(an_pool.e_len[ai_all])), 128),
+            duplicate_edges=self.plan.duplicate_edges,
+            with_temperature=self.plan.with_temperature,
+            target_key=self.plan.target_key,
+        )
+        del gids, ci_all, ai_all
         k_batch = int(min(top_k, B))
         topk_fn = self._device_topk(k_batch, minimize)
 
         def build(g0: int, g1: int):
             gids = np.arange(g0, g1, dtype=np.int64)
-            ci = gids // (A * T)
-            ai = (gids // T) % A
-            ti = gids % T
+            ci = gids % C
+            ai = (gids // C) % A
+            ti = gids // (C * A)
             n = len(gids)
             temp = np.zeros((B, 1), np.float32)
             mask = np.zeros(B, np.float32)
-            if self.plan.with_temperature:
+            if plan.with_temperature:
                 temp[:n, 0] = temps[ti]
             mask[:n] = 1.0
             batch = IonPairBatch(
-                cation=self._pack_side_cols(cat_pool.gather(ci)),
-                anion=self._pack_side_cols(an_pool.gather(ai)),
+                cation=self._pack_side_cols(cat_pool.gather(ci), plan),
+                anion=self._pack_side_cols(an_pool.gather(ai), plan),
                 temperature=temp,
                 y=np.zeros(B, np.float32),
                 sample_mask=mask,
