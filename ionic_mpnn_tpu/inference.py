@@ -122,6 +122,8 @@ class SweepReport:
     pairs_per_s: float
     wall_s: float
     skipped: List[Tuple[str, str]]
+    producer_wait_s: float = 0.0  # consumer time blocked on host packing
+    device_s: float = 0.0  # dispatch + device forward + top-k transfer
 
 
 class ScreeningEngine:
@@ -456,14 +458,19 @@ class ScreeningEngine:
 
         heap: List[Tuple[float, int, int, int]] = []  # (key, ci, ai, ti)
         done = 0
+        wait_s = device_s = 0.0
         while True:
+            t_w = _time.perf_counter()
             item = q.get()
+            wait_s += _time.perf_counter() - t_w
             if item is None:
                 break
             batch, ci, ai, ti = item
+            t_d = _time.perf_counter()
             vals, idx = topk_fn(batch)
             vals = np.asarray(vals)
             idx = np.asarray(idx)
+            device_s += _time.perf_counter() - t_d
             n = len(ci)
             for v, i in zip(vals, idx):
                 if i >= n:  # padded slot (masked to -inf score)
@@ -497,4 +504,6 @@ class ScreeningEngine:
             pairs_per_s=total / dt,
             wall_s=dt,
             skipped=cat_pool.skipped + an_pool.skipped,
+            producer_wait_s=wait_s,
+            device_s=device_s,
         )

@@ -117,7 +117,9 @@ def main() -> int:
         results, dt = report.results, time.time() - t0
         print(f"grid sweep: {report.n_screened:,} pairs at "
               f"{report.pairs_per_s:,.0f} pairs/s "
-              f"({len(report.skipped)} ions skipped)")
+              f"({len(report.skipped)} ions skipped; consumer waited "
+              f"{report.producer_wait_s:.0f}s on packing, "
+              f"{report.device_s:.0f}s on device+dispatch)")
     else:
         t0 = time.time()
         results = list(engine.screen(candidates(), top_k=args.top_k, minimize=True))
