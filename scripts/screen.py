@@ -34,6 +34,11 @@ def main() -> int:
                     help="size the T grid (273-393 K) so the sweep reaches "
                          "this many candidates")
     ap.add_argument("--progress-every", type=int, default=0)
+    ap.add_argument("--host-pack", action="store_true",
+                    help="use the host C++-packer pipeline instead of the "
+                         "default device-resident grid packing")
+    ap.add_argument("--steps-per-call", type=int, default=8,
+                    help="batches folded into one dispatch (device path)")
     args = ap.parse_args()
 
     from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
@@ -113,6 +118,8 @@ def main() -> int:
         report = engine.screen_grid(
             grid_cations, grid_anions, temps, top_k=args.top_k,
             minimize=True, progress_every=args.progress_every,
+            device_pack=not args.host_pack,
+            steps_per_call=args.steps_per_call,
         )
         results, dt = report.results, time.time() - t0
         print(f"grid sweep: {report.n_screened:,} pairs at "

@@ -1,0 +1,155 @@
+"""Device-resident grid packing (ops/grid_pack.py) vs the host packer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ionic_mpnn_tpu.data import encode_graph, smiles_to_graph
+from ionic_mpnn_tpu.data.packing import pack_graphs
+from ionic_mpnn_tpu.inference import IonPool
+from ionic_mpnn_tpu.ops.grid_pack import (
+    device_pool,
+    grid_batch_on_device,
+    pack_side_on_device,
+)
+
+IONS = [
+    "C[N+](C)(C)C",
+    "CCn1cc[n+](C)c1",
+    "CC[n+]1ccccc1",
+    "[Cl-]",
+    "CC(=O)[O-]",
+    "[B-](F)(F)(F)F",
+]
+
+
+def _real_edge_multiset(p):
+    m = np.asarray(p.edge_mask, bool)
+    return sorted(
+        zip(
+            np.asarray(p.src)[m].tolist(),
+            np.asarray(p.dst)[m].tolist(),
+            np.asarray(p.bond_ids)[m].tolist(),
+        )
+    )
+
+
+@pytest.mark.parametrize("duplicate_edges", [False, True])
+def test_device_pack_matches_host_pack(encoded_viscosity, duplicate_edges):
+    vocab = encoded_viscosity["vocab"]
+    pool = IonPool(IONS, vocab)
+    assert not pool.skipped
+    dpool = device_pool(pool)
+
+    sel = np.array([2, 0, 5, 3, 2, 1, 4, 0], np.int32)
+    node_cap, edge_cap = 128, 768 if duplicate_edges else 384
+    dev = jax.jit(
+        lambda s: pack_side_on_device(
+            dpool, s, node_cap, edge_cap, duplicate_edges=duplicate_edges
+        )
+    )(jnp.asarray(sel))
+
+    graphs = [encode_graph(smiles_to_graph(IONS[i]), vocab) for i in sel]
+    host = pack_graphs(graphs, node_cap, edge_cap,
+                       duplicate_edges=duplicate_edges)
+
+    np.testing.assert_array_equal(dev.atom_ids, host.atom_ids)
+    np.testing.assert_array_equal(dev.node_graph, host.node_graph)
+    np.testing.assert_array_equal(dev.node_local, host.node_local)
+    np.testing.assert_array_equal(dev.node_mask, host.node_mask)
+    assert int(np.sum(dev.edge_mask)) == int(np.sum(host.edge_mask))
+    # same real-edge multiset (device leaves pool order; host dst-sorts)
+    assert _real_edge_multiset(dev) == _real_edge_multiset(host)
+    assert dev.n_graphs == host.n_graphs == len(sel)
+
+
+def test_grid_batch_partial_tail(encoded_viscosity):
+    vocab = encoded_viscosity["vocab"]
+    cat = IonPool(IONS[:3], vocab)
+    an = IonPool(IONS[3:], vocab)
+    temps = np.array([300.0, 350.0], np.float32)
+    C, A, T = 3, 3, 2
+    total = C * A * T  # 18
+    B = 8  # last batch holds 2 real candidates
+
+    batch = jax.jit(
+        lambda g0: grid_batch_on_device(
+            device_pool(cat), device_pool(an), jnp.asarray(temps), g0,
+            n_cations=C, n_anions=A, total=total, batch_size=B,
+            node_cap=256, edge_cap=512,
+        )
+    )(jnp.int32(16))
+    mask = np.asarray(batch.sample_mask)
+    np.testing.assert_array_equal(mask, [1, 1, 0, 0, 0, 0, 0, 0])
+    t = np.asarray(batch.temperature)[:, 0]
+    # gids 16,17 -> ti = 1 -> 350 K; padded slots zeroed
+    np.testing.assert_allclose(t[:2], [350.0, 350.0])
+    np.testing.assert_allclose(t[2:], 0.0)
+
+
+def _engine(encoded_viscosity, batch_size=8):
+    from ionic_mpnn_tpu.config import viscosity_config
+    from ionic_mpnn_tpu.data import iter_batches, plan_capacities
+    from ionic_mpnn_tpu.data.loader import BatchPlan
+    from ionic_mpnn_tpu.inference import ScreeningEngine
+    from ionic_mpnn_tpu.models import ViscosityModel
+
+    vocab = encoded_viscosity["vocab"]
+    records = encoded_viscosity["viscosity"][:batch_size]
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size, num_steps=2)
+    model = ViscosityModel(cfg)
+    plan = BatchPlan(batch_size=batch_size, node_cap=batch_size * 64,
+                     edge_cap=batch_size * 192)
+    init_plan = plan_capacities(records, batch_size=batch_size)
+    params = model.init(jax.random.PRNGKey(0), next(iter_batches(records, init_plan)))
+    return ScreeningEngine(model, params["params"], vocab, plan)
+
+
+@pytest.mark.parametrize("steps_per_call", [1, 3])
+def test_screen_grid_device_matches_bruteforce(encoded_viscosity, steps_per_call):
+    engine = _engine(encoded_viscosity)
+    cations = IONS[:3]
+    anions = IONS[3:5]
+    temps = [300.0, 350.0]
+    report = engine.screen_grid(
+        cations, anions, temps, top_k=5,
+        device_pack=True, steps_per_call=steps_per_call,
+    )
+    assert report.n_screened == 12
+    assert len(report.results) == 5
+    assert report.producer_wait_s == 0.0
+
+    # brute force through the generic per-candidate path (cation-fastest order)
+    cands = [(cations[ci], anions[ai], temps[ti])
+             for ti in range(2) for ai in range(2) for ci in range(3)]
+    brute = []
+    for i in range(0, len(cands), 8):
+        brute.extend(engine.predict_batch(cands[i:i + 8]))
+    brute = np.asarray(brute)
+    order = np.argsort(brute)[:5]
+    np.testing.assert_allclose(
+        [r.prediction for r in report.results], brute[order],
+        rtol=2e-5, atol=1e-6,
+    )
+    got_pairs = [(r.cation, r.anion) for r in report.results]
+    assert got_pairs == [cands[i][:2] for i in order]
+
+
+def test_screen_grid_device_matches_host_path(encoded_viscosity):
+    from ionic_mpnn_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native packer not built")
+    engine = _engine(encoded_viscosity)
+    cations, anions, temps = IONS[:3], IONS[3:], [290.0, 320.0, 360.0]
+    dev = engine.screen_grid(cations, anions, temps, top_k=7,
+                             device_pack=True, steps_per_call=2)
+    host = engine.screen_grid(cations, anions, temps, top_k=7,
+                              device_pack=False)
+    assert [(r.cation, r.anion, r.temperature) for r in dev.results] == \
+           [(r.cation, r.anion, r.temperature) for r in host.results]
+    np.testing.assert_allclose(
+        [r.prediction for r in dev.results],
+        [r.prediction for r in host.results], rtol=2e-5, atol=1e-6,
+    )
