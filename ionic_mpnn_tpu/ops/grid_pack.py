@@ -61,11 +61,26 @@ class DevicePool:
 
 def device_pool(pool) -> DevicePool:
     """Convert a host :class:`~ionic_mpnn_tpu.inference.IonPool` (int64
-    offsets) into int32 device arrays."""
+    offsets) into int32 device arrays.
+
+    Zero-size columns (e.g. an all-single-atom anion pool has no bonds at
+    all) are padded with one sentinel row: XLA gathers reject 0-size
+    operands at trace time, and every index into the sentinel is already
+    masked out by ``edge_mask``/``node_mask`` downstream.
+    """
+    atoms = np.asarray(pool.atoms, np.int32)
+    bonds = np.asarray(pool.bonds, np.int32)
+    edges = np.asarray(pool.edges, np.int32).reshape(-1, 2)
+    if atoms.size == 0:
+        atoms = np.zeros(1, np.int32)
+    if bonds.size == 0:
+        bonds = np.zeros(1, np.int32)
+    if edges.size == 0:
+        edges = np.zeros((1, 2), np.int32)
     return DevicePool(
-        atoms=jnp.asarray(pool.atoms, jnp.int32),
-        bonds=jnp.asarray(pool.bonds, jnp.int32),
-        edges=jnp.asarray(pool.edges.reshape(-1, 2), jnp.int32),
+        atoms=jnp.asarray(atoms),
+        bonds=jnp.asarray(bonds),
+        edges=jnp.asarray(edges),
         a_start=jnp.asarray(pool.a_start, jnp.int32),
         a_len=jnp.asarray(pool.a_len, jnp.int32),
         e_start=jnp.asarray(pool.e_start, jnp.int32),
