@@ -422,12 +422,13 @@ class ScreeningEngine:
         ai_all = (gids // C) % A
         from .data.packing import round_up
 
+        dup = 2 if self.plan.duplicate_edges else 1  # parity fwd+rev
         plan = BatchPlan(
             batch_size=B,
             node_cap=round_up(max(_batch_max(cat_pool.a_len[ci_all]),
                                   _batch_max(an_pool.a_len[ai_all])) , 128),
-            edge_cap=round_up(max(_batch_max(cat_pool.e_len[ci_all]),
-                                  _batch_max(an_pool.e_len[ai_all])), 128),
+            edge_cap=round_up(dup * max(_batch_max(cat_pool.e_len[ci_all]),
+                                        _batch_max(an_pool.e_len[ai_all])), 128),
             duplicate_edges=self.plan.duplicate_edges,
             with_temperature=self.plan.with_temperature,
             target_key=self.plan.target_key,
@@ -579,8 +580,8 @@ class ScreeningEngine:
 
         fn = jax.jit(dispatch)
         t0 = _time.perf_counter()
-        cat_d = device_pool(cat_pool)
-        an_d = device_pool(an_pool)
+        cat_d = device_pool(cat_pool, duplicate_edges=plan.duplicate_edges)
+        an_d = device_pool(an_pool, duplicate_edges=plan.duplicate_edges)
         temps_d = jnp.asarray(temps, jnp.float32)
 
         heap: List[Tuple[float, int]] = []  # (score, gid); score: higher=better
@@ -602,9 +603,14 @@ class ScreeningEngine:
         for g0 in range(0, total, B * K):
             t_d = _time.perf_counter()
             out = fn(cat_d, an_d, temps_d, jnp.int32(g0))
-            device_s += _time.perf_counter() - t_d
             if pending is not None:
-                merge(np.asarray(pending[0]), np.asarray(pending[1]))
+                # np.asarray blocks until the PREVIOUS dispatch completes —
+                # this sync (not the async fn() call) is the device time
+                vals_h, gids_h = np.asarray(pending[0]), np.asarray(pending[1])
+                device_s += _time.perf_counter() - t_d
+                merge(vals_h, gids_h)
+            else:
+                device_s += _time.perf_counter() - t_d
             pending = out
             done = min(g0 + B * K, total)
             if progress_every and done % progress_every < B * K:

@@ -15,12 +15,17 @@ ids, masks and global COO edges are all computed with static-shaped
 ``cumsum``/``searchsorted``/gather ops. Per-dispatch host→device traffic
 drops from ~17 MB to ~8 bytes.
 
-Layout contract matches :func:`ionic_mpnn_tpu.data.packing.pack_graphs`
-(ids +1 with 0 = pad, prefix-dense nodes, pad edges spread over the node
-range) EXCEPT that edges are left in pool order rather than dst-sorted —
-fine for the XLA scatter path the screening forward uses, but these
-batches must NOT be fed to the Pallas sorted-scatter kernel
-(``scatter_impl="pallas"`` requires dst-sorted edges).
+Layout contract matches :func:`ionic_mpnn_tpu.data.packing.pack_graphs`:
+ids +1 with 0 = pad, prefix-dense nodes, and — crucially — **globally
+dst-sorted edges**. Each ion's stored edge list is stable-sorted by local
+destination once at pool build (host side, vectorized); molecule base
+offsets increase with graph index, so the packed global ``dst`` is
+non-decreasing over the real edges, and pad edges are spread over
+``[node_total, node_cap)`` (they carry zero messages; placement only has
+to preserve sortedness). This upholds the ``indices_are_sorted=True``
+contract of :func:`ionic_mpnn_tpu.ops.segment.aggregate_to_nodes` — an
+unsorted edge stream under that flag is undefined behavior on TPU and
+measured ~100x slower (round 2, ``scripts/tpu_grid_microbench.py``).
 
 Reference scope: the reference has no screening/serving tier at all
 (SURVEY §1 — inference happens inline in its notebook); this is the
@@ -52,16 +57,27 @@ class DevicePool:
 
     atoms: Any  # (Pa,) int32 raw vocab ids
     bonds: Any  # (Pe,) int32 raw vocab ids
-    edges: Any  # (Pe, 2) int32 local atom indices
+    edges: Any  # (Pe, 2) int32 local atom indices, dst-sorted per ion
     a_start: Any  # (M,) int32
     a_len: Any  # (M,) int32
     e_start: Any  # (M,) int32
-    e_len: Any  # (M,) int32 stored directed edges per ion
+    e_len: Any  # (M,) int32 directed edges per ion (post-duplication)
+    duplicated: bool = struct.field(pytree_node=False, default=False)
 
 
-def device_pool(pool) -> DevicePool:
+def device_pool(pool, duplicate_edges: bool = False) -> DevicePool:
     """Convert a host :class:`~ionic_mpnn_tpu.inference.IonPool` (int64
     offsets) into int32 device arrays.
+
+    Two host-side (numpy, vectorized, once-per-sweep) preprocessing steps:
+
+    * ``duplicate_edges`` — reference-parity fwd+rev duplication per
+      stored edge, interleaved (``pack_graphs`` semantics), baked into the
+      pool so the per-batch device code needs no interleave arithmetic;
+    * per-ion **stable sort by local dst** — makes every batch packed from
+      this pool globally dst-sorted (see module docstring). Matches the
+      host packer's stable global dst sort exactly on the real-edge
+      sequence (equal dst keeps insertion order in both).
 
     Zero-size columns (e.g. an all-single-atom anion pool has no bonds at
     all) are padded with one sentinel row: XLA gathers reject 0-size
@@ -71,6 +87,20 @@ def device_pool(pool) -> DevicePool:
     atoms = np.asarray(pool.atoms, np.int32)
     bonds = np.asarray(pool.bonds, np.int32)
     edges = np.asarray(pool.edges, np.int32).reshape(-1, 2)
+    e_start = np.asarray(pool.e_start, np.int64)
+    e_len = np.asarray(pool.e_len, np.int64)
+    if duplicate_edges and len(edges):
+        edges = np.stack([edges, edges[:, ::-1]], axis=1).reshape(-1, 2)
+        bonds = np.repeat(bonds, 2)
+        e_start = e_start * 2
+        e_len = e_len * 2
+    if len(edges):
+        # stable per-ion sort by local dst: lexsort with the owning ion as
+        # the primary key keeps each ion's block in place
+        ion_of_edge = np.repeat(np.arange(len(e_len), dtype=np.int64), e_len)
+        order = np.lexsort((edges[:, 1], ion_of_edge))
+        edges = edges[order]
+        bonds = bonds[order]
     if atoms.size == 0:
         atoms = np.zeros(1, np.int32)
     if bonds.size == 0:
@@ -83,14 +113,30 @@ def device_pool(pool) -> DevicePool:
         edges=jnp.asarray(edges),
         a_start=jnp.asarray(pool.a_start, jnp.int32),
         a_len=jnp.asarray(pool.a_len, jnp.int32),
-        e_start=jnp.asarray(pool.e_start, jnp.int32),
-        e_len=jnp.asarray(pool.e_len, jnp.int32),
+        e_start=jnp.asarray(e_start, jnp.int32),
+        e_len=jnp.asarray(e_len, jnp.int32),
+        duplicated=bool(duplicate_edges),
     )
 
 
 def _prefix_offsets(lens: jnp.ndarray) -> jnp.ndarray:
     """(B,) lengths → (B+1,) exclusive prefix offsets."""
     return jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(lens, dtype=jnp.int32)])
+
+
+def _slot_to_graph(off: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Graph index per flat slot: ``g[i] = #{j >= 1 : off[j] <= i}``.
+
+    Equivalent to ``searchsorted(off[1:], arange(cap), side="right")`` but
+    O(cap) streaming — scatter a bump at each graph boundary, cumsum. The
+    binary-search formulation lowers to log(B) dependent gather rounds,
+    which the TPU backend handles far worse than one scan (round-2
+    microbench). Empty graphs stack bumps on one slot; cumsum handles it.
+    """
+    bumps = jnp.zeros(cap + 1, jnp.int32).at[off[1:]].add(
+        1, mode="drop", indices_are_sorted=True
+    )
+    return jnp.cumsum(bumps[:cap])
 
 
 def pack_side_on_device(
@@ -104,19 +150,27 @@ def pack_side_on_device(
     entirely with static-shaped device ops (jit/scan-safe).
 
     Semantics match :func:`data.packing.pack_graphs` on the same molecule
-    sequence — identical ``atom_ids``/``node_graph``/``node_local``/
-    ``node_mask`` and the same real-edge multiset per graph — except edge
-    ORDER (pool order here, dst-sorted there; see module docstring).
+    sequence: identical ``atom_ids``/``node_graph``/``node_local``/
+    ``node_mask`` AND the identical real-edge sequence (both are stable
+    dst-sorts); only pad-edge placement differs (tail here, interleaved
+    there — masked either way). ``duplicate_edges`` must match the flag
+    the pool was built with (duplication happens at pool build).
     """
     B = int(sel.shape[0])
     sel = sel.astype(jnp.int32)
+    if bool(duplicate_edges) != bool(pool.duplicated):
+        raise ValueError(
+            f"duplicate_edges={duplicate_edges} but the pool was built with "
+            f"device_pool(duplicate_edges={pool.duplicated}); duplication is "
+            "baked into the pool at build time"
+        )
 
     # ---- nodes: prefix-dense layout ------------------------------------
     lens = pool.a_len[sel]  # (B,)
     off = _prefix_offsets(lens)  # (B+1,)
     total = off[B]
     i = jnp.arange(node_cap, dtype=jnp.int32)
-    g = jnp.searchsorted(off[1:], i, side="right").astype(jnp.int32)  # [0..B]
+    g = _slot_to_graph(off, node_cap)  # [0..B]
     valid = i < total
     gc = jnp.clip(g, 0, B - 1)
     local = jnp.clip(i - off[gc], 0, None)
@@ -125,33 +179,27 @@ def pack_side_on_device(
     node_graph = jnp.where(valid, gc, 0).astype(jnp.int32)
     node_local = jnp.where(valid, local, 0).astype(jnp.int32)
 
-    # ---- edges: COO with global node indices ---------------------------
-    dup = 2 if duplicate_edges else 1
-    elens = pool.e_len[sel] * dup
+    # ---- edges: COO with global node indices (globally dst-sorted) -----
+    elens = pool.e_len[sel]  # post-duplication lengths
     eoff = _prefix_offsets(elens)
     etotal = eoff[B]
     j = jnp.arange(edge_cap, dtype=jnp.int32)
-    eg = jnp.searchsorted(eoff[1:], j, side="right").astype(jnp.int32)
+    eg = _slot_to_graph(eoff, edge_cap)
     evalid = j < etotal
     egc = jnp.clip(eg, 0, B - 1)
     k = jnp.clip(j - eoff[egc], 0, None)  # local directed-edge index
-    stored = k // dup
-    e_idx = jnp.clip(pool.e_start[sel[egc]] + stored, 0, pool.edges.shape[0] - 1)
-    e = pool.edges[e_idx]  # (E, 2) local endpoints
-    if duplicate_edges:
-        # fwd+rev interleave per stored edge (pack_graphs parity)
-        rev = (k % 2).astype(bool)
-        s_loc = jnp.where(rev, e[:, 1], e[:, 0])
-        d_loc = jnp.where(rev, e[:, 0], e[:, 1])
-    else:
-        s_loc, d_loc = e[:, 0], e[:, 1]
+    e_idx = jnp.clip(pool.e_start[sel[egc]] + k, 0, pool.edges.shape[0] - 1)
+    e = pool.edges[e_idx]  # (E, 2) local endpoints, dst-sorted per ion
+    s_loc, d_loc = e[:, 0], e[:, 1]
     base = off[egc]
-    # pad edges spread uniformly over the node range (packing.py:170-178);
-    # float32 math (x64 is off and int32 would overflow at pos*node_cap) —
-    # pad edges carry zero messages, placement only needs to be spread out
+    # Pad edges spread over [node_total, node_cap): zero messages, so
+    # placement only has to keep the global dst stream NON-DECREASING
+    # (real edges end below node_total). float32 math (x64 is off and
+    # int32 would overflow at pos*node_cap).
     n_pad = jnp.maximum(edge_cap - etotal, 1)
     pos = jnp.clip(j - etotal, 0, None).astype(jnp.float32)
-    spread = (pos * (np.float32(node_cap) / n_pad.astype(jnp.float32)))
+    lo = total.astype(jnp.float32)
+    spread = lo + pos * ((np.float32(node_cap) - lo) / n_pad.astype(jnp.float32))
     spread = jnp.clip(spread.astype(jnp.int32), 0, node_cap - 1)
     src = jnp.where(evalid, s_loc + base, spread).astype(jnp.int32)
     dst = jnp.where(evalid, d_loc + base, spread).astype(jnp.int32)

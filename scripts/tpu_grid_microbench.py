@@ -106,9 +106,23 @@ def main():
             batch_size=B, node_cap=node_cap, edge_cap=edge_cap,
             duplicate_edges=False, with_temperature=True)
 
+    # All setup (init, eager packing) runs on the CPU backend so the timed
+    # program is the FIRST executable the axon plugin loads (CLAUDE.md:
+    # second-and-later executables dispatch ~25 ms/step).
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+
     if mode == "dispatch":
-        batch0 = one_batch(jnp.int32(0))
-        params = model.init(jax.random.key(0), batch0, deterministic=True)
+        with jax.default_device(cpu):
+            cat_c, an_c = device_pool(cat_pool), device_pool(an_pool)
+            temps_c = jnp.asarray(temps, jnp.float32)
+            batch0 = grid_batch_on_device(
+                cat_c, an_c, temps_c, jnp.int32(0), n_cations=C, n_anions=A,
+                total=total, batch_size=B, node_cap=node_cap,
+                edge_cap=edge_cap, duplicate_edges=False,
+                with_temperature=True)
+            params = model.init(jax.random.key(0), batch0, deterministic=True)
+        params = jax.device_put(params, tpu)
 
         @jax.jit
         def fn(g0):
@@ -163,10 +177,23 @@ def main():
               flush=True)
 
     elif mode == "fwd":
-        # K DISTINCT batches packed eagerly once, stacked, scanned
-        batches = [one_batch(jnp.int32(i * B)) for i in range(K)]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-        params = model.init(jax.random.key(0), batches[0], deterministic=True)
+        # K DISTINCT batches packed eagerly once (on CPU), stacked, scanned
+        with jax.default_device(cpu):
+            cat_c, an_c = device_pool(cat_pool), device_pool(an_pool)
+            temps_c = jnp.asarray(temps, jnp.float32)
+            batches = [
+                grid_batch_on_device(
+                    cat_c, an_c, temps_c, jnp.int32(i * B), n_cations=C,
+                    n_anions=A, total=total, batch_size=B, node_cap=node_cap,
+                    edge_cap=edge_cap, duplicate_edges=False,
+                    with_temperature=True)
+                for i in range(K)
+            ]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+            params = model.init(jax.random.key(0), batches[0],
+                                deterministic=True)
+        stacked = jax.device_put(stacked, tpu)
+        params = jax.device_put(params, tpu)
 
         @jax.jit
         def fn(stacked):
@@ -181,6 +208,81 @@ def main():
         dt = timeit(lambda s: fn(s), stacked)
         print(f"[fwd] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/batch "
               f"-> {B*K/dt:,.0f} pairs/s", flush=True)
+
+    elif mode in ("mpa", "mpa-typed", "msg", "agg", "gru", "pool"):
+        # Component isolation at SCREENING shapes: one cation-side batch
+        # packed on CPU, random states, scan-64 with a data-dependent
+        # carry so XLA cannot hoist the op out of the loop.
+        from ionic_mpnn_tpu.ops.gru import gated_update
+        from ionic_mpnn_tpu.ops.message import (
+            bond_type_matrices, edge_messages_from_table,
+            message_pass_aggregate, message_pass_aggregate_typed)
+        from ionic_mpnn_tpu.ops.segment import graph_sum_pool
+
+        with jax.default_device(cpu):
+            cat_c = device_pool(cat_pool)
+            b = pack_side_on_device(
+                cat_c, jnp.arange(B, dtype=jnp.int32) % C, node_cap, edge_cap)
+        b = jax.device_put(b, tpu)
+        D = 32
+        V = int(np.asarray(cat_pool.bonds).max()) + 2
+        rng = np.random.RandomState(0)
+        h0 = jax.device_put(rng.randn(node_cap, D).astype(np.float32), tpu)
+        mt = jax.device_put(rng.randn(V, D, D).astype(np.float32) * 0.1, tpu)
+        msgs0 = jax.device_put(rng.randn(edge_cap, D).astype(np.float32), tpu)
+        LOOPS = 64
+
+        def scan64(body, init):
+            @jax.jit
+            def fn(x):
+                out, _ = jax.lax.scan(body, x, None, length=LOOPS)
+                return out
+            return fn, init
+
+        if mode == "mpa":
+            fn, init = scan64(
+                lambda h, _: (message_pass_aggregate(
+                    h, b.bond_ids, b.src, b.dst, mt, b.edge_mask), None), h0)
+        elif mode == "mpa-typed":
+            fn, init = scan64(
+                lambda h, _: (message_pass_aggregate_typed(
+                    h, b.bond_ids, b.src, b.dst, mt, b.edge_mask), None), h0)
+        elif mode == "msg":
+            def body(h, _):
+                m = edge_messages_from_table(h, b.bond_ids, b.src, mt)
+                return h * (1.0 + 1e-12 * jnp.sum(m)), None
+            fn, init = scan64(body, h0)
+        elif mode == "agg":
+            def body(m, _):
+                a = jax.ops.segment_sum(m, b.dst, num_segments=node_cap,
+                                        indices_are_sorted=True)
+                return m * (1.0 + 1e-12 * jnp.sum(a)), None
+            fn, init = scan64(body, msgs0)
+        elif mode == "gru":
+            gp = {
+                "wz": rng.randn(2 * D, D).astype(np.float32) * 0.1,
+                "bz": np.zeros(D, np.float32),
+                "wr": rng.randn(2 * D, D).astype(np.float32) * 0.1,
+                "br": np.zeros(D, np.float32),
+                "wh": rng.randn(2 * D, D).astype(np.float32) * 0.1,
+                "bh": np.zeros(D, np.float32),
+                "ln_scale": np.ones(D, np.float32),
+                "ln_bias": np.zeros(D, np.float32),
+            }
+            gp = jax.device_put(gp, tpu)
+
+            def body(h, _):
+                return gated_update(h, h, gp), None
+            fn, init = scan64(body, h0)
+        else:  # pool
+            def body(h, _):
+                p = graph_sum_pool(h, b.node_graph, B, b.node_mask)
+                return h * (1.0 + 1e-12 * jnp.sum(p)), None
+            fn, init = scan64(body, h0)
+
+        dt = timeit(fn, init, iters=5, warmup=2)
+        print(f"[{mode}] {dt/LOOPS*1e3:.3f} ms/op (scan-{LOOPS}, "
+              f"N={node_cap} E={edge_cap})", flush=True)
 
     else:
         raise SystemExit(f"unknown mode {mode}")

@@ -40,7 +40,7 @@ def test_device_pack_matches_host_pack(encoded_viscosity, duplicate_edges):
     vocab = encoded_viscosity["vocab"]
     pool = IonPool(IONS, vocab)
     assert not pool.skipped
-    dpool = device_pool(pool)
+    dpool = device_pool(pool, duplicate_edges=duplicate_edges)
 
     sel = np.array([2, 0, 5, 3, 2, 1, 4, 0], np.int32)
     node_cap, edge_cap = 128, 768 if duplicate_edges else 384
@@ -59,9 +59,23 @@ def test_device_pack_matches_host_pack(encoded_viscosity, duplicate_edges):
     np.testing.assert_array_equal(dev.node_local, host.node_local)
     np.testing.assert_array_equal(dev.node_mask, host.node_mask)
     assert int(np.sum(dev.edge_mask)) == int(np.sum(host.edge_mask))
-    # same real-edge multiset (device leaves pool order; host dst-sorts)
-    assert _real_edge_multiset(dev) == _real_edge_multiset(host)
+    # identical real-edge SEQUENCE: both paths are stable dst-sorts
+    dm, hm = np.asarray(dev.edge_mask, bool), np.asarray(host.edge_mask, bool)
+    np.testing.assert_array_equal(np.asarray(dev.src)[dm], np.asarray(host.src)[hm])
+    np.testing.assert_array_equal(np.asarray(dev.dst)[dm], np.asarray(host.dst)[hm])
+    np.testing.assert_array_equal(np.asarray(dev.bond_ids)[dm],
+                                  np.asarray(host.bond_ids)[hm])
     assert dev.n_graphs == host.n_graphs == len(sel)
+    # the FULL dst stream (pads included) upholds indices_are_sorted=True
+    assert np.all(np.diff(np.asarray(dev.dst)) >= 0)
+
+
+def test_device_pack_dup_flag_mismatch_raises(encoded_viscosity):
+    vocab = encoded_viscosity["vocab"]
+    dpool = device_pool(IonPool(IONS, vocab), duplicate_edges=False)
+    with pytest.raises(ValueError, match="duplicate_edges"):
+        pack_side_on_device(dpool, jnp.zeros(2, jnp.int32), 64, 128,
+                            duplicate_edges=True)
 
 
 def test_grid_batch_partial_tail(encoded_viscosity):
