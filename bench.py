@@ -137,6 +137,15 @@ def main() -> int:
         result["mfu"] = round(roof["mfu"], 5)
         result["hbm_bound_fraction"] = round(roof["hbm_bound_fraction"], 4)
         result["roofline_headroom"] = round(roof["roofline_headroom"], 2)
+        if roof["mfu"] > 1.0:
+            # Physics check: sustained FLOP/s above the chip's matmul peak
+            # is impossible — on this relay-attached backend the step-rate
+            # measurement is optimistic at high dispatch rates (completion
+            # acks can lead actual execution). Flag rather than hide.
+            result["mfu_note"] = (
+                "exceeds chip peak — relay timing optimistic; treat "
+                "edges/s as an upper bound this run"
+            )
         result["model_flops_per_step"] = packed.flops_per_step
         result["model_hbm_bytes_per_step"] = packed.hbm_bytes_per_step
 

@@ -154,32 +154,40 @@ class ScreeningEngine:
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        self._fwd = lambda b: model.apply(variables, b, deterministic=True)["pred"]
+        # Variables are passed as a JIT ARGUMENT everywhere, never closed
+        # over: on the axon backend, arrays embedded as program CONSTANTS
+        # execute ~1000x slower (measured round 2: the params-closure
+        # forward ran 267 ms/batch vs 0.015 ms with params as an arg —
+        # scripts/tpu_grid_microbench.py fwdref-argparams).
+        self._variables = variables
+        self._fwd = lambda v, b: model.apply(v, b, deterministic=True)["pred"]
         self.n_dev = 1
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
             from jax import shard_map
 
             self.n_dev = int(mesh.shape.get("data", 1))
-            self._apply = jax.jit(
+            self._apply_fn = jax.jit(
                 shard_map(
-                    lambda b: self._fwd(jax.tree.map(lambda x: x[0], b)),
+                    lambda v, b: self._fwd(v, jax.tree.map(lambda x: x[0], b)),
                     mesh=mesh,
-                    in_specs=(P("data"),),
+                    in_specs=(P(), P("data")),
                     out_specs=P("data"),
                     check_vma=False,
                 )
             )
         else:
-            self._apply = jax.jit(self._fwd)
+            self._apply_fn = jax.jit(self._fwd)
+        self._apply = lambda b: self._apply_fn(self._variables, b)
         self._topk_fns: Dict[Tuple[int, bool], Any] = {}
 
     def _device_topk(self, k: int, minimize: bool):
-        """Jitted forward + on-device top-k (values de-sign-flipped)."""
+        """Jitted forward + on-device top-k (values de-sign-flipped).
+        Returned fn signature: ``fn(variables, batch)``."""
         key = (k, minimize)
         if key not in self._topk_fns:
-            def fn(batch):
-                pred = self._fwd(batch)
+            def fn(v, batch):
+                pred = self._fwd(v, batch)
                 score = jnp.where(
                     batch.sample_mask > 0,
                     -pred if minimize else pred,
@@ -485,7 +493,7 @@ class ScreeningEngine:
                 break
             batch, ci, ai, ti = item
             t_d = _time.perf_counter()
-            vals, idx = topk_fn(batch)
+            vals, idx = topk_fn(self._variables, batch)
             vals = np.asarray(vals)
             idx = np.asarray(idx)
             device_s += _time.perf_counter() - t_d
@@ -548,7 +556,7 @@ class ScreeningEngine:
         total = C * A * T
         B = plan.batch_size
 
-        def one(cat_d, an_d, temps_d, g0):
+        def one(v, cat_d, an_d, temps_d, g0):
             batch = grid_batch_on_device(
                 cat_d, an_d, temps_d, g0,
                 n_cations=C, n_anions=A, total=total, batch_size=B,
@@ -556,7 +564,7 @@ class ScreeningEngine:
                 duplicate_edges=plan.duplicate_edges,
                 with_temperature=plan.with_temperature,
             )
-            pred = self._fwd(batch)
+            pred = self._fwd(v, batch)
             score = jnp.where(
                 batch.sample_mask > 0,
                 -pred if minimize else pred,
@@ -568,9 +576,9 @@ class ScreeningEngine:
         if K == 1:
             dispatch = one
         else:
-            def dispatch(cat_d, an_d, temps_d, g0):
+            def dispatch(v, cat_d, an_d, temps_d, g0):
                 def body(carry, s):
-                    return carry, one(cat_d, an_d, temps_d, g0 + s * B)
+                    return carry, one(v, cat_d, an_d, temps_d, g0 + s * B)
 
                 _, (vs, gis) = jax.lax.scan(
                     body, 0, jnp.arange(K, dtype=jnp.int32)
@@ -602,7 +610,7 @@ class ScreeningEngine:
         device_s = 0.0
         for g0 in range(0, total, B * K):
             t_d = _time.perf_counter()
-            out = fn(cat_d, an_d, temps_d, jnp.int32(g0))
+            out = fn(self._variables, cat_d, an_d, temps_d, jnp.int32(g0))
             if pending is not None:
                 # np.asarray blocks until the PREVIOUS dispatch completes —
                 # this sync (not the async fn() call) is the device time

@@ -176,6 +176,100 @@ def main():
         print(f"[{mode}] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/side",
               flush=True)
 
+    elif mode == "fwdref-argparams":
+        # params as a PLAIN JIT ARG (not carried/perturbed), batch as xs,
+        # top_k head — the exact production-dispatch structure with the
+        # params-closure replaced by an argument. If fast, the screening
+        # fix is one line; if slow, params must ride the scan carry.
+        with jax.default_device(cpu):
+            cat_c, an_c = device_pool(cat_pool), device_pool(an_pool)
+            temps_c = jnp.asarray(temps, jnp.float32)
+            batches = [
+                grid_batch_on_device(
+                    cat_c, an_c, temps_c, jnp.int32(i * B), n_cations=C,
+                    n_anions=A, total=total, batch_size=B, node_cap=node_cap,
+                    edge_cap=edge_cap, duplicate_edges=False,
+                    with_temperature=True)
+                for i in range(K)
+            ]
+            params = model.init(jax.random.key(0), batches[0],
+                                deterministic=True)
+        params = jax.device_put(params, tpu)
+        stacked = jax.device_put(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *batches), tpu)
+
+        @jax.jit
+        def fn(p, bs):
+            def body(carry, b):
+                pred = model.apply(p, b, deterministic=True)["pred"]
+                score = jnp.where(b.sample_mask > 0, -pred, -jnp.inf)
+                vals, idx = jax.lax.top_k(score, min(50, B))
+                return carry, (vals, idx)
+            _, out = jax.lax.scan(body, 0, bs)
+            return out
+
+        dt = timeit(fn, params, stacked, iters=10, warmup=3) / K
+        print(f"[{mode}] {dt*1e3:.3f} ms/batch -> {B/dt:,.0f} pairs/s",
+              flush=True)
+
+    elif mode in ("fwdref", "fwdref-topk", "fwdref-xs"):
+        # One-variable mutations from tpu_microbench.py's FAST fwd-only
+        # harness (34 us/step at training shapes) toward the SLOW fwd mode:
+        #   fwdref      = fwd-only structure, grid-packed batch (content)
+        #   fwdref-topk = + top_k/where head instead of sum loss
+        #   fwdref-xs   = batch as stacked scan-xs instead of closed-over
+        with jax.default_device(cpu):
+            cat_c, an_c = device_pool(cat_pool), device_pool(an_pool)
+            temps_c = jnp.asarray(temps, jnp.float32)
+            batches = [
+                grid_batch_on_device(
+                    cat_c, an_c, temps_c, jnp.int32(i * B), n_cations=C,
+                    n_anions=A, total=total, batch_size=B, node_cap=node_cap,
+                    edge_cap=edge_cap, duplicate_edges=False,
+                    with_temperature=True)
+                for i in range(K if mode == "fwdref-xs" else 1)
+            ]
+            params = model.init(jax.random.key(0), batches[0],
+                                deterministic=True)
+        params = jax.device_put(params, tpu)
+
+        def head(pred, b):
+            if mode == "fwdref-topk":
+                score = jnp.where(b.sample_mask > 0, -pred, -jnp.inf)
+                vals, _ = jax.lax.top_k(score, min(50, B))
+                return jnp.sum(vals)
+            return jnp.sum(pred)
+
+        if mode == "fwdref-xs":
+            stacked = jax.device_put(
+                jax.tree.map(lambda *xs: jnp.stack(xs), *batches), tpu)
+
+            def multi(p, bs):
+                def body(pp, b):
+                    s = head(model.apply(pp, b, deterministic=True)["pred"], b)
+                    pp = jax.tree.map(lambda x: x + 1e-12 * s, pp)
+                    return pp, s
+                p2, ss = jax.lax.scan(body, p, bs)
+                return p2, ss[-1]
+
+            fn = jax.jit(multi)
+            dt = timeit(fn, params, stacked, iters=10, warmup=3) / K
+        else:
+            batch = jax.device_put(batches[0], tpu)
+
+            def multi(p, b):
+                def body(pp, _):
+                    s = head(model.apply(pp, b, deterministic=True)["pred"], b)
+                    pp = jax.tree.map(lambda x: x + 1e-12 * s, pp)
+                    return pp, s
+                p2, ss = jax.lax.scan(body, p, None, length=8)
+                return p2, ss[-1]
+
+            fn = jax.jit(multi)
+            dt = timeit(fn, params, batch, iters=10, warmup=3) / 8
+        print(f"[{mode}] {dt*1e3:.3f} ms/batch -> {B/dt:,.0f} pairs/s",
+              flush=True)
+
     elif mode == "fwd":
         # K DISTINCT batches packed eagerly once (on CPU), stacked, scanned
         with jax.default_device(cpu):
@@ -209,7 +303,7 @@ def main():
         print(f"[fwd] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/batch "
               f"-> {B*K/dt:,.0f} pairs/s", flush=True)
 
-    elif mode in ("mpa", "mpa-typed", "msg", "agg", "gru", "pool"):
+    elif mode in ("mpa", "mpa-grad", "mpa-typed", "msg", "agg", "gru", "pool"):
         # Component isolation at SCREENING shapes: one cation-side batch
         # packed on CPU, random states, scan-64 with a data-dependent
         # carry so XLA cannot hoist the op out of the loop.
@@ -243,6 +337,36 @@ def main():
             fn, init = scan64(
                 lambda h, _: (message_pass_aggregate(
                     h, b.bond_ids, b.src, b.dst, mt, b.edge_mask), None), h0)
+        elif mode == "mpa-grad":
+            # EXACT round-2 tpu_microbench.py harness structure: fwd+bwd
+            # via value_and_grad, W carried (m_table recomputed in-loop),
+            # cotangent-weighted scalar loss — to bisect the 50x rate gap
+            # between that harness and the fwd-only one above.
+            table = jax.device_put(
+                rng.randn(V, 8).astype(np.float32), tpu)
+            W0 = jax.device_put(
+                (rng.randn(8, D, D) * 0.2).astype(np.float32), tpu)
+            cot = jax.device_put(rng.randn(node_cap, D).astype(np.float32),
+                                 tpu)
+            from ionic_mpnn_tpu.ops.message import bond_type_matrices as btm
+
+            def one(h_, W_):
+                m_tab = btm(table, W_)
+                out = message_pass_aggregate(h_, b.bond_ids, b.src, b.dst,
+                                             m_tab, b.edge_mask)
+                return jnp.sum(out * cot)
+
+            grad_fn = jax.value_and_grad(one, argnums=(0, 1))
+
+            @jax.jit
+            def fn(carry):
+                def body(c, _):
+                    hh, WW = c
+                    v, (gh, gW) = grad_fn(hh, WW)
+                    return (hh + 1e-6 * gh, WW + 1e-6 * gW), v
+                c2, vs = jax.lax.scan(body, carry, None, length=LOOPS)
+                return c2
+            init = (h0, W0)
         elif mode == "mpa-typed":
             fn, init = scan64(
                 lambda h, _: (message_pass_aggregate_typed(
