@@ -92,18 +92,21 @@ def bench_packed_train_step(
     donate: bool = True,
     gru_impl: str = "reference",
     distinct_batches: bool = True,
+    scatter_impl: str = "xla",
 ) -> BenchResult:
     if model_kind == "mp":
         cfg = melting_point_config(
             vocab.atom_vocab_size, vocab.bond_vocab_size,
             num_steps=num_steps, compute_dtype=compute_dtype,
             message_impl=message_impl, gru_impl=gru_impl,
+            scatter_impl=scatter_impl,
         )
     else:
         cfg = viscosity_config(
             vocab.atom_vocab_size, vocab.bond_vocab_size,
             num_steps=num_steps, compute_dtype=compute_dtype,
             message_impl=message_impl, gru_impl=gru_impl,
+            scatter_impl=scatter_impl,
         )
     tcfg = TrainConfig()
     plan = plan_capacities(records, batch_size=batch_size)
@@ -247,18 +250,22 @@ def bench_dense_reference(
     params = model.init(jax.random.PRNGKey(0), packed_batch)["params"]
     dense_fwd = dense_mp_forward if model_kind == "mp" else dense_viscosity_forward
 
-    def loss_fn(p):
-        pred = dense_fwd(p, cfg, dense_inputs)
-        return jnp.mean((pred - y) ** 2)
+    # inputs/targets are jit ARGUMENTS, never closed over: on this backend
+    # closed-over device arrays embed as HLO constants and execute their
+    # gathers/matmuls ~100-1000x slower (CLAUDE.md) — closing over them
+    # would UNDERSTATE the baseline and inflate vs_baseline.
+    def loss_fn(p, inputs, targets):
+        pred = dense_fwd(p, cfg, inputs)
+        return jnp.mean((pred - targets) ** 2)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
 
     for _ in range(warmup):
-        loss, grads = grad_fn(params)
+        loss, grads = grad_fn(params, dense_inputs, y)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for _ in range(iters):
-        loss, grads = grad_fn(params)
+        loss, grads = grad_fn(params, dense_inputs, y)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 

@@ -5,12 +5,21 @@ Each invocation measures ONE config (the axon backend's second-executable
 slowdown forbids more per process); the persistent compile cache makes
 repeat invocations cheap. Shapes mirror `bench.py` at the given batch.
 
-  step-gather | step-symmetric | step-typed : full train step, scan-8
+  step-gather | step-symmetric | step-typed | step-pallas :
+                 full train step, scan-8 (step-pallas = gather messages +
+                 the Pallas sorted-scatter aggregate)
   fwd-only     : forward+loss only, scan-8
   mpa-gather | mpa-symmetric | mpa-typed    : message+aggregate fwd+bwd,
                  scan of 64 ops/dispatch (= 2 ions x 4 MP steps x 8)
   gru-only     : gated update fwd+bwd, scan of 64
+  seg-xla | seg-pallas : the aggregate alone (sorted segment-sum fwd+bwd),
+                 scan of 64
   cost         : XLA cost_analysis of the full step (no timing)
+
+All harnesses pass every device array as a jit ARGUMENT (threaded through
+the scan carry or the call signature) — closed-over arrays embed as HLO
+constants and run ~1000x slower on this backend (CLAUDE.md), which
+poisoned the round-2 closure-style op benches this file replaces.
 """
 
 import json
@@ -115,11 +124,14 @@ def main():
             return
         impl = which.split("-", 1)[1]
         gru = "reference"
+        scatter = "xla"
         if impl == "fusedgru":
             impl, gru = "gather", "fused"
+        if impl == "pallas":
+            impl, scatter = "gather", "pallas"
         r = bench_packed_train_step(records, vocab, batch_size=bs, iters=30,
                                     warmup=5, inner=8, message_impl=impl,
-                                    gru_impl=gru)
+                                    gru_impl=gru, scatter_impl=scatter)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,
@@ -152,29 +164,65 @@ def main():
 
         impl = which.split("-", 1)[1]
 
-        def one(h_, W_):
-            m_table = bond_type_matrices(table, W_)
+        def one(h_, W_, table_, bond_, src_, dst_, mask_, cot_):
+            m_table = bond_type_matrices(table_, W_)
             if impl == "typed":
-                out = message_pass_aggregate_typed(h_, bond, src, dst, m_table, mask)
+                out = message_pass_aggregate_typed(h_, bond_, src_, dst_, m_table, mask_)
             elif impl == "symmetric":
-                out = message_pass_aggregate_symmetric(h_, bond, src, dst, m_table, mask)
+                out = message_pass_aggregate_symmetric(h_, bond_, src_, dst_, m_table, mask_)
             else:
-                out = message_pass_aggregate(h_, bond, src, dst, m_table, mask)
-            return jnp.sum(out * cot)
+                out = message_pass_aggregate(h_, bond_, src_, dst_, m_table, mask_)
+            return jnp.sum(out * cot_)
 
         grad_fn = jax.value_and_grad(one, argnums=(0, 1))
 
-        def multi(carry, _arg):
+        def multi(carry, arrs):
             h_, W_ = carry
+            table_, bond_, src_, dst_, mask_, cot_ = arrs
             def body(c, _):
                 hh, WW = c
-                v, (gh, gW) = grad_fn(hh, WW)
+                v, (gh, gW) = grad_fn(hh, WW, table_, bond_, src_, dst_, mask_, cot_)
                 return (hh + 1e-6 * gh, WW + 1e-6 * gW), v
             (h2, W2), vs = jax.lax.scan(body, (h_, W_), None, length=64)
             return (h2, W2), vs[-1]
 
         fn = jax.jit(multi)
-        dt = _time(fn, (h, W), None) / 64
+        dt = _time(fn, (h, W), (table, bond, src, dst, mask, cot)) / 64
+        print(json.dumps({
+            "which": which, "bs": bs, "us_per_op": dt * 1e6,
+            "edges_per_s_fwd_bwd": n_real_edges / dt,
+        }))
+        return
+
+    if which.startswith("seg-"):
+        impl = which.split("-", 1)[1]
+        from ionic_mpnn_tpu.ops.pallas.segment_sum import segment_sum_vjp
+
+        N = plan.node_cap
+        msgs = jnp.array(rng.normal(size=(plan.edge_cap, D)).astype(np.float32))
+        msgs = msgs * mask[:, None].astype(msgs.dtype)
+
+        def one(m_, dst_, cot_):
+            if impl == "pallas":
+                out = segment_sum_vjp(m_, dst_, N)
+            else:
+                out = jax.ops.segment_sum(m_, dst_, num_segments=N,
+                                          indices_are_sorted=True)
+            return jnp.sum(out * cot_)
+
+        grad_fn = jax.value_and_grad(one)
+
+        def multi(carry, arrs):
+            m_ = carry
+            dst_, cot_ = arrs
+            def body(mm, _):
+                v, gm = grad_fn(mm, dst_, cot_)
+                return mm + 1e-6 * gm, v
+            m2, vs = jax.lax.scan(body, m_, None, length=64)
+            return m2, vs[-1]
+
+        fn = jax.jit(multi)
+        dt = _time(fn, msgs, (dst, cot)) / 64
         print(json.dumps({
             "which": which, "bs": bs, "us_per_op": dt * 1e6,
             "edges_per_s_fwd_bwd": n_real_edges / dt,
@@ -189,23 +237,24 @@ def main():
                   for k, s in shapes.items()}
         agg = jnp.array(rng.normal(size=h.shape).astype(np.float32))
 
-        def one(h_, p_):
-            return jnp.sum(gated_update(h_, agg, p_) * cot)
+        def one(h_, p_, agg_, cot_):
+            return jnp.sum(gated_update(h_, agg_, p_) * cot_)
 
         grad_fn = jax.value_and_grad(one, argnums=(0, 1))
 
-        def multi(carry, _arg):
+        def multi(carry, arrs):
             h_, p_ = carry
+            agg_, cot_ = arrs
             def body(c, _):
                 hh, pp = c
-                v, (gh, gp) = grad_fn(hh, pp)
+                v, (gh, gp) = grad_fn(hh, pp, agg_, cot_)
                 return (hh + 1e-6 * gh,
                         jax.tree.map(lambda a, b: a + 1e-6 * b, pp, gp)), v
             c2, vs = jax.lax.scan(body, (h_, p_), None, length=64)
             return c2, vs[-1]
 
         fn = jax.jit(multi)
-        dt = _time(fn, (h, params), None) / 64
+        dt = _time(fn, (h, params), (agg, cot)) / 64
         print(json.dumps({"which": which, "bs": bs, "us_per_op": dt * 1e6}))
         return
 
