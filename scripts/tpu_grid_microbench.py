@@ -96,13 +96,17 @@ def main():
     from ionic_mpnn_tpu.ops.grid_pack import (
         device_pool, grid_batch_on_device, pack_side_on_device)
 
+    # ARG-STYLE (CLAUDE.md): pools/params/temps are threaded through the
+    # jit call signature, never closed over — mirrors production
+    # ScreeningEngine._screen_grid_device. Closure-style variants of these
+    # modes measured 3.2 s/dispatch purely from the HLO-constant slow path.
     cat_d = device_pool(cat_pool)
     an_d = device_pool(an_pool)
     temps_d = jnp.asarray(temps, jnp.float32)
 
-    def one_batch(g0):
+    def one_batch(cd, ad, td, g0):
         return grid_batch_on_device(
-            cat_d, an_d, temps_d, g0, n_cations=C, n_anions=A, total=total,
+            cd, ad, td, g0, n_cations=C, n_anions=A, total=total,
             batch_size=B, node_cap=node_cap, edge_cap=edge_cap,
             duplicate_edges=False, with_temperature=True)
 
@@ -125,10 +129,10 @@ def main():
         params = jax.device_put(params, tpu)
 
         @jax.jit
-        def fn(g0):
+        def fn(p, cd, ad, td, g0):
             def body(carry, s):
-                b = one_batch(g0 + s * B)
-                pred = model.apply(params, b, deterministic=True)["pred"]
+                b = one_batch(cd, ad, td, g0 + s * B)
+                pred = model.apply(p, b, deterministic=True)["pred"]
                 score = jnp.where(b.sample_mask > 0, -pred, -jnp.inf)
                 vals, idx = jax.lax.top_k(score, min(50, B))
                 return carry, (vals, g0 + s * B + idx.astype(jnp.int32))
@@ -136,15 +140,15 @@ def main():
             v2, i2 = jax.lax.top_k(vs.reshape(-1), min(50, B))
             return v2, gis.reshape(-1)[i2]
 
-        dt = timeit(lambda g: fn(g), jnp.int32(0))
+        dt = timeit(fn, params, cat_d, an_d, temps_d, jnp.int32(0))
         print(f"[dispatch] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/batch "
               f"-> {B*K/dt:,.0f} pairs/s", flush=True)
 
     elif mode == "pack":
         @jax.jit
-        def fn(g0):
+        def fn(cd, ad, td, g0):
             def body(carry, s):
-                b = one_batch(g0 + s * B)
+                b = one_batch(cd, ad, td, g0 + s * B)
                 # tiny reduction so nothing big ships back
                 r = (jnp.sum(b.cation.atom_ids) + jnp.sum(b.anion.src)
                      + jnp.sum(b.temperature))
@@ -152,18 +156,18 @@ def main():
             _, rs = jax.lax.scan(body, 0, jnp.arange(K, dtype=jnp.int32))
             return rs
 
-        dt = timeit(lambda g: fn(g), jnp.int32(0))
+        dt = timeit(fn, cat_d, an_d, temps_d, jnp.int32(0))
         print(f"[pack] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/batch",
               flush=True)
 
     elif mode in ("pack-nodes", "pack-edges"):
         # one cation side per scan step, node or edge block only
         @jax.jit
-        def fn(g0):
+        def fn(cd, g0):
             def body(carry, s):
                 gg = g0 + s * B + jnp.arange(B, dtype=jnp.int32)
                 sel = jnp.where(gg < total, gg, 0) % C
-                p = pack_side_on_device(cat_d, sel, node_cap, edge_cap)
+                p = pack_side_on_device(cd, sel, node_cap, edge_cap)
                 if mode == "pack-nodes":
                     r = jnp.sum(p.atom_ids) + jnp.sum(p.node_graph)
                 else:
@@ -172,7 +176,7 @@ def main():
             _, rs = jax.lax.scan(body, 0, jnp.arange(K, dtype=jnp.int32))
             return rs
 
-        dt = timeit(lambda g: fn(g), jnp.int32(0))
+        dt = timeit(fn, cat_d, jnp.int32(0))
         print(f"[{mode}] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/side",
               flush=True)
 

@@ -64,11 +64,13 @@ def main():
     which = sys.argv[1]
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
 
-    if which.startswith("step-") or which == "fwd-only" or which == "cost":
+    if which.startswith("step-") or which.startswith("fwd-only") or which == "cost":
         from ionic_mpnn_tpu.benchmarks import bench_packed_train_step, make_bench_dataset
 
         records, vocab = make_bench_dataset(max(bs, 512))
-        if which == "fwd-only":
+        if which.startswith("fwd-only"):
+            import dataclasses
+
             from ionic_mpnn_tpu.config import TrainConfig, viscosity_config
             from ionic_mpnn_tpu.data import iter_batches, plan_capacities
             from ionic_mpnn_tpu.models import ViscosityModel
@@ -77,6 +79,8 @@ def main():
             batch = next(iter_batches(records[:bs], plan))
             batch = jax.tree.map(jnp.asarray, batch)
             cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
+            if which == "fwd-only-pallas":
+                cfg = dataclasses.replace(cfg, scatter_impl="pallas")
             model = ViscosityModel(cfg)
             variables = model.init(jax.random.PRNGKey(0), batch)
 
@@ -170,6 +174,9 @@ def main():
                 out = message_pass_aggregate_typed(h_, bond_, src_, dst_, m_table, mask_)
             elif impl == "symmetric":
                 out = message_pass_aggregate_symmetric(h_, bond_, src_, dst_, m_table, mask_)
+            elif impl == "pallas":
+                out = message_pass_aggregate(h_, bond_, src_, dst_, m_table, mask_,
+                                             scatter="pallas")
             else:
                 out = message_pass_aggregate(h_, bond_, src_, dst_, m_table, mask_)
             return jnp.sum(out * cot_)
@@ -201,28 +208,39 @@ def main():
         N = plan.node_cap
         msgs = jnp.array(rng.normal(size=(plan.edge_cap, D)).astype(np.float32))
         msgs = msgs * mask[:, None].astype(msgs.dtype)
+        # -mix variants: the SAME segment-sum but with an MXU matmul in the
+        # scan body. Tests whether a Pallas custom-call merely COEXISTING
+        # with ordinary XLA ops in one program triggers the axon backend's
+        # slow dispatch (fwd-only-pallas: 70.8 ms/step vs 53 us for xla,
+        # while the standalone seg-pallas scan is FAST).
+        mix = impl.endswith("-mix")
+        if mix:
+            impl = impl[: -len("-mix")]
+        Wd = jnp.array((rng.normal(size=(D, D)) * 0.1).astype(np.float32))
 
-        def one(m_, dst_, cot_):
+        def one(m_, dst_, cot_, W_):
             if impl == "pallas":
                 out = segment_sum_vjp(m_, dst_, N)
             else:
                 out = jax.ops.segment_sum(m_, dst_, num_segments=N,
                                           indices_are_sorted=True)
+            if mix:
+                out = jnp.dot(out, W_, preferred_element_type=jnp.float32)
             return jnp.sum(out * cot_)
 
         grad_fn = jax.value_and_grad(one)
 
         def multi(carry, arrs):
             m_ = carry
-            dst_, cot_ = arrs
+            dst_, cot_, W_ = arrs
             def body(mm, _):
-                v, gm = grad_fn(mm, dst_, cot_)
+                v, gm = grad_fn(mm, dst_, cot_, W_)
                 return mm + 1e-6 * gm, v
             m2, vs = jax.lax.scan(body, m_, None, length=64)
             return m2, vs[-1]
 
         fn = jax.jit(multi)
-        dt = _time(fn, msgs, (dst, cot)) / 64
+        dt = _time(fn, msgs, (dst, cot, Wd)) / 64
         print(json.dumps({
             "which": which, "bs": bs, "us_per_op": dt * 1e6,
             "edges_per_s_fwd_bwd": n_real_edges / dt,
