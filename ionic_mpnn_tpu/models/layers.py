@@ -50,9 +50,11 @@ class BondMatrixMessage(nn.Module):
     table is precomputed per call (a (V, F) @ (F, D·D) matmul) and no
     (E, D, D) tensor is ever materialized.
 
-    ``impl``: "gather" (matrix gather + batched matvec + segment-sum) or
-    "typed" (type-bucketed scatter + one MXU matmul, see
-    :func:`~ionic_mpnn_tpu.ops.message.message_pass_aggregate_typed`).
+    ``impl``: "gather" (matrix gather + batched matvec + segment-sum),
+    "typed" (type-bucketed scatter + one MXU matmul), "symmetric"
+    (sorted-backward custom VJP), or "pallas_fused" (single fused Pallas
+    kernel: halo one-hot src gather + typed transform + windowed
+    aggregate — :mod:`ionic_mpnn_tpu.ops.pallas.fused_message`).
     """
 
     atom_dim: int
@@ -87,7 +89,19 @@ class BondMatrixMessage(nn.Module):
             bond_table.astype(self.compute_dtype), w.astype(self.compute_dtype)
         )
         h = node_states.astype(self.compute_dtype)
-        if self.impl == "typed":
+        if self.impl == "pallas_fused":
+            # one Pallas kernel: src-halo gather + typed transform +
+            # windowed aggregate, sorted backward (ops/pallas/fused_message)
+            from ..ops.pallas.fused_message import (
+                fused_message_aggregate,
+                message_table_to_lanes,
+            )
+
+            agg = fused_message_aggregate(
+                h, message_table_to_lanes(m_table), bond_ids, src, dst,
+                edge_mask, h.shape[0],
+            )
+        elif self.impl == "typed":
             agg = message_pass_aggregate_typed(h, bond_ids, src, dst, m_table, edge_mask)
         elif self.impl == "symmetric":
             # sorted-backward custom VJP; requires reversal-closed edges

@@ -196,6 +196,8 @@ def sorted_segment_sum(
     native loader validate every batch they emit) and, belt-and-braces,
     by ``debug_check=True`` which raises from a device callback.
     """
+    if not interpret:  # Mosaic needs a real TPU; CPU tests run interpreted
+        interpret = jax.default_backend() != "tpu"
     if not isinstance(dst, jax.core.Tracer):
         dropped = dropped_edge_mask(
             np.asarray(dst), num_nodes, window, tile, max_tiles_per_window

@@ -133,6 +133,8 @@ def main():
             impl, gru = "gather", "fused"
         if impl == "pallas":
             impl, scatter = "gather", "pallas"
+        if impl == "fusedmsg":
+            impl = "pallas_fused"
         r = bench_packed_train_step(records, vocab, batch_size=bs, iters=30,
                                     warmup=5, inner=8, message_impl=impl,
                                     gru_impl=gru, scatter_impl=scatter)
@@ -177,6 +179,13 @@ def main():
             elif impl == "pallas":
                 out = message_pass_aggregate(h_, bond_, src_, dst_, m_table, mask_,
                                              scatter="pallas")
+            elif impl == "fusedmsg":
+                from ionic_mpnn_tpu.ops.pallas.fused_message import (
+                    fused_message_aggregate, message_table_to_lanes)
+
+                out = fused_message_aggregate(
+                    h_, message_table_to_lanes(m_table), bond_, src_, dst_,
+                    mask_, h_.shape[0])
             else:
                 out = message_pass_aggregate(h_, bond_, src_, dst_, m_table, mask_)
             return jnp.sum(out * cot_)

@@ -36,6 +36,36 @@ def test_model_predictions_identical_across_impls(encoded_viscosity):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
 
 
+def test_pallas_fused_model_matches_gather(encoded_viscosity):
+    """message_impl='pallas_fused' (one fused Pallas kernel per MP step,
+    interpret mode on CPU) must match the XLA gather path end-to-end,
+    forward and gradients."""
+    records = encoded_viscosity["viscosity"][:16]
+    vocab = encoded_viscosity["vocab"]
+    plan = plan_capacities(records, batch_size=16)
+    batch = next(iter_batches(records, plan))
+
+    cfg_g = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                             num_steps=3, message_impl="gather")
+    cfg_f = cfg_g.replace(message_impl="pallas_fused")
+
+    model_g = ViscosityModel(cfg_g)
+    model_f = ViscosityModel(cfg_f)
+    params = model_g.init(jax.random.PRNGKey(0), batch)  # same tree for both
+
+    pred_g = np.asarray(model_g.apply(params, batch)["pred"])
+    pred_f = np.asarray(model_f.apply(params, batch)["pred"])
+    np.testing.assert_allclose(pred_g, pred_f, rtol=2e-4, atol=2e-4)
+
+    def loss(m):
+        return lambda p: ((m.apply(p, batch)["pred"] - batch.y) ** 2).mean()
+
+    g_g = jax.grad(loss(model_g))(params)
+    g_f = jax.grad(loss(model_f))(params)
+    for a, b in zip(jax.tree.leaves(g_g), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
+
+
 def test_symmetric_vjp_grads_match_autodiff(encoded_viscosity):
     """The graph-symmetry custom VJP must be gradient-exact vs plain AD
     on real molecular batches (edge lists are reversal-closed)."""
