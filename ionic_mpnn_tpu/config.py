@@ -38,7 +38,9 @@ class ModelConfig:
     head: str = "vft"  # "vft" (viscosity), "mlp" (melting point), "transfer"
     parity_mode: bool = False  # reproduce the reference's atom-0 masking quirk
     compute_dtype: str = "float32"  # "bfloat16" for TPU throughput configs
-    message_impl: str = "gather"  # "gather" | "typed" | "symmetric" | "pallas_fused"
+    # "gather" | "typed" | "symmetric" | "pallas_fused" (fused message+
+    # aggregate kernel) | "pallas_step" (megakernel: message+aggregate+GRU)
+    message_impl: str = "gather"
     gru_impl: str = "reference"  # "fused" packs z|r|candidate into wider matmuls
     scatter_impl: str = "xla"  # "xla" | "pallas" (sorted-scatter TPU kernel)
     # Edge-partitioned execution (graph analogue of context parallelism):

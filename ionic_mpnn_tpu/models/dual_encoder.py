@@ -58,6 +58,31 @@ class IonEncoder(nn.Module):
             )
 
         for step in range(cfg.num_steps):
+            if cfg.message_impl == "pallas_step":
+                # MEGAKERNEL: message + aggregate + gated update in ONE
+                # Pallas launch (ops/pallas/fused_step). Same param tree
+                # as the composed path (checkpoint-compatible).
+                assert cfg.ep_axis is None, (
+                    "pallas_step does not compose with edge partitioning"
+                )
+                from ..ops.message import bond_type_matrices
+                from ..ops.pallas.fused_step import fused_mp_step
+                from .layers import BondTransformParams, GatedUpdateParams
+
+                w = BondTransformParams(
+                    atom_dim=cfg.atom_dim, bond_dim=cfg.bond_dim,
+                    name=f"bmm_{step}",
+                )()
+                gru_p = GatedUpdateParams(atom_dim=cfg.atom_dim,
+                                          name=f"gru_{step}")()
+                m_table = bond_type_matrices(
+                    bond_table.astype(dtype), w.astype(dtype)
+                )
+                h = fused_mp_step(
+                    h, m_table, gru_p, graphs.bond_ids, graphs.src,
+                    graphs.dst, edge_mask, h.shape[0],
+                )
+                continue
             agg = BondMatrixMessage(
                 atom_dim=cfg.atom_dim,
                 bond_dim=cfg.bond_dim,

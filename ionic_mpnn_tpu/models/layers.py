@@ -133,6 +133,55 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LayerNormParams(nn.Module):
+    """scale+bias with nn.LayerNorm-identical param tree/init, no math."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class BondTransformParams(nn.Module):
+    """BondMatrixMessage's param tree (just ``bond_transform``) without the
+    compute — instantiated under the same module name so the fused-step
+    Pallas path shares checkpoints with the composed path."""
+
+    atom_dim: int
+    bond_dim: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "bond_transform",
+            glorot(in_axis=-2, out_axis=-1),
+            (self.bond_dim, self.atom_dim, self.atom_dim),
+        )
+
+
+class GatedUpdateParams(nn.Module):
+    """GatedUpdate's exact param tree (dense_z/r/h + layernorm) as a dict
+    keyed per :func:`ionic_mpnn_tpu.ops.gru.GATED_UPDATE_PARAM_SHAPES` —
+    checkpoint-compatible params for the fused-step Pallas kernel."""
+
+    atom_dim: int
+
+    @nn.compact
+    def __call__(self):
+        D = self.atom_dim
+        wz, bz = _DenseParams(2 * D, D, name="dense_z")()
+        wr, br = _DenseParams(2 * D, D, name="dense_r")()
+        wh, bh = _DenseParams(2 * D, D, name="dense_h")()
+        ln_scale, ln_bias = _LayerNormParams(D, name="layernorm")()
+        return {
+            "wz": wz, "bz": bz, "wr": wr, "br": br, "wh": wh, "bh": bh,
+            "ln_scale": ln_scale, "ln_bias": ln_bias,
+        }
+
+
 class GatedUpdate(nn.Module):
     """Reference gated node update (``models/layers.py:128-156``).
 
