@@ -10,6 +10,12 @@ The baseline is measured in a fresh subprocess: on this backend, the
 second benchmark config within one process runs pathologically slow
 (measured ~200× — see CLAUDE.md), so every measurement must be
 first-in-process to be honest.
+
+All timing is FETCH-synced (np.asarray of an output that depends on the
+whole computation chain): jax.block_until_ready returns before execution
+completes on the axon relay backend (measured: 0.4 ms block-synced vs
+2146 ms fetch-synced for one identical dispatch), so block-based timing
+overstates throughput by orders of magnitude here.
 """
 
 import argparse

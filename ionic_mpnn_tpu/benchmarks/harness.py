@@ -168,16 +168,23 @@ def bench_packed_train_step(
 
     multi_fn = jax.jit(multi, donate_argnums=(0,) if donate else ())
 
+    # Synchronize by FETCHING the final loss to the host, never by
+    # jax.block_until_ready: on the axon relay backend block_until_ready
+    # returns before execution completes (measured round 2: 0.4 ms
+    # "block-synced" vs 2146 ms fetch-synced for the identical dispatch),
+    # so only bytes-on-host proves the work ran. `last` is the loss of the
+    # final dispatch and the TrainState threads through every dispatch, so
+    # one fetch forces the entire chain.
     last = None
     for _ in range(warmup):
         state, last = multi_fn(state, batch)
     if last is not None:
-        jax.block_until_ready(last)
+        np.asarray(last)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, last = multi_fn(state, batch)
-    jax.block_until_ready(last)
+    np.asarray(last)
     dt = time.perf_counter() - t0
 
     total_steps = iters * inner
@@ -260,13 +267,20 @@ def bench_dense_reference(
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
 
+    # Fetch-synced like bench_packed_train_step (block_until_ready lies on
+    # this backend). The calls are independent (no state threads through),
+    # so fetch EVERY iteration's loss after the loop — device execution is
+    # FIFO, so the final wall clock is the honest total.
     for _ in range(warmup):
         loss, grads = grad_fn(params, dense_inputs, y)
-    jax.block_until_ready(loss)
+    np.asarray(loss)
     t0 = time.perf_counter()
+    losses = []
     for _ in range(iters):
         loss, grads = grad_fn(params, dense_inputs, y)
-    jax.block_until_ready(loss)
+        losses.append(loss)
+    for l in losses:
+        np.asarray(l)
     dt = time.perf_counter() - t0
 
     # count REAL message edges (the useful work) — the dense design also

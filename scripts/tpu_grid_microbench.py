@@ -69,14 +69,18 @@ def build(n_cations: int, B: int):
 
 
 def timeit(fn, *args, iters=10, warmup=3):
+    # Fetch-synced: block_until_ready under-waits on the axon relay
+    # (battery 6: 0.4 ms block-synced vs 2146 ms fetch-synced for the same
+    # dispatch). Calls with identical args are independent, so every
+    # iteration's output is fetched after the loop (FIFO device execution
+    # makes the total wall clock honest).
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    jax.tree.map(np.asarray, out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    jax.tree.map(np.asarray, outs)
     return (time.perf_counter() - t0) / iters
 
 
@@ -116,7 +120,16 @@ def main():
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
 
-    if mode == "dispatch":
+    if mode in ("dispatch", "dispatch-vary", "dispatch-fetch", "dispatch-ckpt"):
+        if mode == "dispatch-ckpt":
+            # replicate production's pre-sweep work: restore the orbax
+            # checkpoint BEFORE building the sweep executable, to test
+            # whether anything it runs demotes the sweep program off the
+            # axon fast path (second-executable slow path, CLAUDE.md).
+            from ionic_mpnn_tpu.training import restore_checkpoint
+
+            restored = restore_checkpoint("results/viscosity/checkpoints")
+            print("[ckpt] restored step", restored["step"], flush=True)
         with jax.default_device(cpu):
             cat_c, an_c = device_pool(cat_pool), device_pool(an_pool)
             temps_c = jnp.asarray(temps, jnp.float32)
@@ -140,11 +153,39 @@ def main():
             v2, i2 = jax.lax.top_k(vs.reshape(-1), min(50, B))
             return v2, gis.reshape(-1)[i2]
 
-        dt = timeit(fn, params, cat_d, an_d, temps_d, jnp.int32(0))
-        print(f"[dispatch] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/batch "
+        if mode in ("dispatch-vary", "dispatch-fetch", "dispatch-ckpt"):
+            # production passes a DIFFERENT grid offset every dispatch; a
+            # constant g0 could be served from a relay-side cache of
+            # identical (executable, args) calls — vary g0 exactly like
+            # screen_grid does. -fetch additionally pulls every output to
+            # the HOST (np.asarray) like production's top-k merge: if
+            # block_until_ready under-synchronizes on this backend, only
+            # the fetch timing is honest.
+            import time as _t
+
+            fetch = mode in ("dispatch-fetch", "dispatch-ckpt")
+            for i in range(3):
+                out = fn(params, cat_d, an_d, temps_d, jnp.int32(i * B * K))
+                if fetch:
+                    np.asarray(out[0])
+            outs = []
+            t0 = _t.perf_counter()
+            iters = 10
+            for i in range(iters):
+                out = fn(params, cat_d, an_d, temps_d,
+                         jnp.int32((3 + i) * B * K))
+                if fetch:
+                    outs.append((np.asarray(out[0]), np.asarray(out[1])))
+                else:
+                    outs.append(out)
+            jax.block_until_ready(outs)
+            dt = (_t.perf_counter() - t0) / iters
+        else:
+            dt = timeit(fn, params, cat_d, an_d, temps_d, jnp.int32(0))
+        print(f"[{mode}] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/batch "
               f"-> {B*K/dt:,.0f} pairs/s", flush=True)
 
-    elif mode == "pack":
+    elif mode in ("pack", "pack-fetch"):
         @jax.jit
         def fn(cd, ad, td, g0):
             def body(carry, s):
@@ -156,8 +197,20 @@ def main():
             _, rs = jax.lax.scan(body, 0, jnp.arange(K, dtype=jnp.int32))
             return rs
 
-        dt = timeit(fn, cat_d, an_d, temps_d, jnp.int32(0))
-        print(f"[pack] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/batch",
+        if mode == "pack-fetch":
+            import time as _t
+
+            for i in range(3):
+                np.asarray(fn(cat_d, an_d, temps_d, jnp.int32(i * B * K)))
+            t0 = _t.perf_counter()
+            iters = 10
+            for i in range(iters):
+                np.asarray(fn(cat_d, an_d, temps_d,
+                              jnp.int32((3 + i) * B * K)))
+            dt = (_t.perf_counter() - t0) / iters
+        else:
+            dt = timeit(fn, cat_d, an_d, temps_d, jnp.int32(0))
+        print(f"[{mode}] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/batch",
               flush=True)
 
     elif mode in ("pack-nodes", "pack-edges"):
@@ -274,7 +327,7 @@ def main():
         print(f"[{mode}] {dt*1e3:.3f} ms/batch -> {B/dt:,.0f} pairs/s",
               flush=True)
 
-    elif mode == "fwd":
+    elif mode in ("fwd", "fwd-fetch"):
         # K DISTINCT batches packed eagerly once (on CPU), stacked, scanned
         with jax.default_device(cpu):
             cat_c, an_c = device_pool(cat_pool), device_pool(an_pool)
@@ -294,17 +347,30 @@ def main():
         params = jax.device_put(params, tpu)
 
         @jax.jit
-        def fn(stacked):
+        def fn(p, stacked):
             def body(carry, b):
-                pred = model.apply(params, b, deterministic=True)["pred"]
+                pred = model.apply(p, b, deterministic=True)["pred"]
                 score = jnp.where(b.sample_mask > 0, -pred, -jnp.inf)
                 vals, idx = jax.lax.top_k(score, min(50, B))
                 return carry, (vals, idx)
             _, out = jax.lax.scan(body, 0, stacked)
             return out
 
-        dt = timeit(lambda s: fn(s), stacked)
-        print(f"[fwd] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/batch "
+        if mode == "fwd-fetch":
+            import time as _t
+
+            for _ in range(3):
+                out = fn(params, stacked)
+                np.asarray(out[0])
+            t0 = _t.perf_counter()
+            iters = 10
+            for _ in range(iters):
+                out = fn(params, stacked)
+                np.asarray(out[0]), np.asarray(out[1])
+            dt = (_t.perf_counter() - t0) / iters
+        else:
+            dt = timeit(fn, params, stacked)
+        print(f"[{mode}] {dt*1e3:.1f} ms/dispatch = {dt/K*1e3:.2f} ms/batch "
               f"-> {B*K/dt:,.0f} pairs/s", flush=True)
 
     elif mode in ("mpa", "mpa-grad", "mpa-typed", "msg", "agg", "gru", "pool"):

@@ -49,14 +49,18 @@ def _bench_shapes(bs):
 
 
 def _time(fn, state, arg, iters=30, warmup=5):
+    # Fetch-synced: block_until_ready returns BEFORE execution completes on
+    # the axon relay (battery 6: 0.4 ms block-synced vs 2146 ms fetch-synced
+    # for the same dispatch). `state` threads through every call, so
+    # fetching the final (state, last) leaves forces the whole chain.
     last = None
     for _ in range(warmup):
         state, last = fn(state, arg)
-    jax.block_until_ready(last)
+    jax.tree.map(np.asarray, (state, last))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, last = fn(state, arg)
-    jax.block_until_ready(last)
+    jax.tree.map(np.asarray, (state, last))
     return (time.perf_counter() - t0) / iters
 
 
@@ -135,6 +139,8 @@ def main():
             impl, scatter = "gather", "pallas"
         if impl == "fusedmsg":
             impl = "pallas_fused"
+        if impl == "megakernel":
+            impl = "pallas_step"
         r = bench_packed_train_step(records, vocab, batch_size=bs, iters=30,
                                     warmup=5, inner=8, message_impl=impl,
                                     gru_impl=gru, scatter_impl=scatter)
