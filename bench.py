@@ -33,7 +33,8 @@ def main() -> int:
                         help="train steps folded into one jit call (lax.scan)")
     parser.add_argument("--no-baseline", action="store_true")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    parser.add_argument("--message-impl", default="gather", choices=["gather", "typed", "symmetric"])
+    parser.add_argument("--message-impl", default="gather",
+                        choices=["gather", "typed", "symmetric", "onehot"])
     parser.add_argument("--model", default="viscosity", choices=["viscosity", "mp"],
                         help="mp = melting-point config (bond_dim=1024)")
     parser.add_argument("--dense-only", action="store_true",

@@ -109,7 +109,10 @@ def bench_packed_train_step(
             scatter_impl=scatter_impl,
         )
     tcfg = TrainConfig()
-    plan = plan_capacities(records, batch_size=batch_size)
+    plan = plan_capacities(
+        records, batch_size=batch_size,
+        edge_layout="window" if message_impl == "onehot" else "sorted",
+    )
     batch = next(iter_batches(records[:batch_size], plan))
     batch = jax.tree.map(jnp.asarray, batch)
     if inner > 1 and distinct_batches:

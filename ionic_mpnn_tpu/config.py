@@ -38,9 +38,12 @@ class ModelConfig:
     head: str = "vft"  # "vft" (viscosity), "mlp" (melting point), "transfer"
     parity_mode: bool = False  # reproduce the reference's atom-0 masking quirk
     compute_dtype: str = "float32"  # "bfloat16" for TPU throughput configs
-    # "gather" | "typed" | "symmetric" | "pallas_fused" (fused message+
-    # aggregate kernel) | "pallas_step" (megakernel: message+aggregate+GRU)
+    # "gather" | "typed" | "symmetric" | "onehot" (all-MXU windowed one-hot
+    # matmuls; needs BatchPlan(edge_layout="window")) | "pallas_fused"
+    # (fused message+aggregate kernel) | "pallas_step" (megakernel:
+    # message+aggregate+GRU)
     message_impl: str = "gather"
+    onehot_window: int = 128  # node window for message_impl="onehot"
     gru_impl: str = "reference"  # "fused" packs z|r|candidate into wider matmuls
     scatter_impl: str = "xla"  # "xla" | "pallas" (sorted-scatter TPU kernel)
     # Edge-partitioned execution (graph analogue of context parallelism):

@@ -164,10 +164,15 @@ def iter_batches_fast(
             temp[:n_real, 0] = temperature[g0:g1]
         yy[:n_real] = y[g0:g1]
         mask[:n_real] = 1.0
-        yield IonPairBatch(
+        batch = IonPairBatch(
             cation=_pack_side(cat, g0, g1, plan),
             anion=_pack_side(an, g0, g1, plan),
             temperature=temp,
             y=yy,
             sample_mask=mask,
         )
+        if plan.edge_layout == "window":
+            from .packing import window_tile_batch
+
+            batch = window_tile_batch(batch, plan.edge_tile, plan.window)
+        yield batch

@@ -15,7 +15,13 @@ from typing import Any, Dict, Iterator, List, Sequence
 
 import numpy as np
 
-from .packing import IonPairBatch, pack_ion_pair_batch, round_up
+from .packing import (
+    ONEHOT_WINDOW,
+    IonPairBatch,
+    pack_ion_pair_batch,
+    round_up,
+    window_tile_batch,
+)
 
 __all__ = ["BatchPlan", "plan_capacities", "iter_batches"]
 
@@ -30,6 +36,11 @@ class BatchPlan:
     duplicate_edges: bool = False
     with_temperature: bool = True
     target_key: str = "log_eta"
+    # "sorted" (default) or "window": per-window edge tiles of edge_tile
+    # slots (message_impl="onehot" requires "window"; every impl accepts it)
+    edge_layout: str = "sorted"
+    edge_tile: int = 0
+    window: int = ONEHOT_WINDOW
 
 
 def _record_sizes(rec: Dict[str, Any], duplicate_edges: bool) -> tuple:
@@ -49,6 +60,8 @@ def plan_capacities(
     node_multiple: int = 8,
     edge_multiple: int = 128,
     headroom: float = 1.0,
+    edge_layout: str = "sorted",
+    window: int = ONEHOT_WINDOW,
 ) -> BatchPlan:
     """Choose safe static capacities for ``batch_size`` molecules per batch.
 
@@ -56,6 +69,13 @@ def plan_capacities(
     clamped to the worst case (batch_size × max) and never below
     ``max single molecule`` — any shuffle then packs without overflow
     because batches close early when full (see :func:`iter_batches`).
+
+    With ``edge_layout="window"`` the node capacity is rounded to the
+    window size and a per-window edge-tile capacity is derived from a
+    proven bound: a window's real edges come from molecules overlapping
+    its node range, so ``tile ≤ window·max(edges/atoms) + 2·max_edges``
+    (≤ 2 molecules straddle the window boundary). Tiling still validates
+    per batch and raises rather than truncates.
     """
     nodes = np.array([_record_sizes(r, duplicate_edges)[0] for r in records])
     edges = np.array([_record_sizes(r, duplicate_edges)[1] for r in records])
@@ -66,13 +86,29 @@ def plan_capacities(
         cap = max(int(sizes.max()), min(worst, mean_based))
         return round_up(cap, multiple)
 
+    node_cap = _cap(nodes, node_multiple)
+    edge_tile = 0
+    if edge_layout == "window":
+        node_cap = round_up(node_cap, window)
+        mult = 2 if duplicate_edges else 1
+        density = max(
+            (len(r[ion]["edge_indices"]) * mult) / max(int(r[ion]["num_atoms"]), 1)
+            for r in records
+            for ion in ("cation", "anion")
+        )
+        max_mol_edges = int(edges.max())
+        edge_tile = round_up(int(np.ceil(window * density)) + 2 * max_mol_edges, 8)
+
     return BatchPlan(
         batch_size=batch_size,
-        node_cap=_cap(nodes, node_multiple),
+        node_cap=node_cap,
         edge_cap=_cap(edges, edge_multiple),
         duplicate_edges=duplicate_edges,
         with_temperature=with_temperature,
         target_key=target_key,
+        edge_layout=edge_layout,
+        edge_tile=edge_tile,
+        window=window,
     )
 
 
@@ -100,7 +136,7 @@ def iter_batches(
     mult = 2 if plan.duplicate_edges else 1
 
     def _emit(ch: List[Dict[str, Any]]) -> IonPairBatch:
-        return pack_ion_pair_batch(
+        batch = pack_ion_pair_batch(
             ch,
             batch_size=plan.batch_size,
             node_cap=plan.node_cap,
@@ -109,6 +145,9 @@ def iter_batches(
             with_temperature=plan.with_temperature,
             duplicate_edges=plan.duplicate_edges,
         )
+        if plan.edge_layout == "window":
+            batch = window_tile_batch(batch, plan.edge_tile, plan.window)
+        return batch
 
     for idx in order:
         rec = records[int(idx)]

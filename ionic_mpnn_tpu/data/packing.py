@@ -39,6 +39,9 @@ __all__ = [
     "pack_ion_pair_batch",
     "pad_dense_batch",
     "round_up",
+    "window_tile_edges",
+    "window_tile_batch",
+    "ONEHOT_WINDOW",
 ]
 
 
@@ -67,6 +70,12 @@ class PackedGraphs:
     node_mask: np.ndarray  # (N,) bool
     edge_mask: np.ndarray  # (E,) bool
     n_graphs: int = struct.field(pytree_node=False)  # static graph-slot count
+    # "sorted": dst-sorted COO (default). "window": additionally tiled so
+    # window w's edges (dst in [w*WINDOW, (w+1)*WINDOW)) occupy slots
+    # [w*T, (w+1)*T) for T = edge_capacity / (node_capacity / WINDOW) —
+    # the layout message_impl="onehot" requires (still valid sorted COO,
+    # so every other impl accepts it too).
+    edge_layout: str = struct.field(pytree_node=False, default="sorted")
 
     @property
     def node_capacity(self) -> int:
@@ -244,6 +253,101 @@ def pack_ion_pair_batch(
         y[i] = float(r[target_key])
         mask[i] = 1.0
     return IonPairBatch(cation=cation, anion=anion, temperature=temperature, y=y, sample_mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# Window-tiled edge layout (for the all-MXU one-hot message path)
+# ---------------------------------------------------------------------------
+
+ONEHOT_WINDOW = 128  # node window for message_impl="onehot" (lane-width)
+
+
+def window_tile_edges(
+    g: PackedGraphs, tile: int, window: int = ONEHOT_WINDOW
+) -> PackedGraphs:
+    """Re-lay a dst-sorted packed batch into fixed per-window edge tiles.
+
+    Window ``w`` owns nodes ``[w*window, (w+1)*window)``; its REAL edges
+    (``dst`` in that range — contiguous because the input is dst-sorted)
+    are moved to slots ``[w*tile, w*tile + count)``, order preserved; the
+    remaining slots are masked self-loop pads on the window's last node,
+    so the result is STILL globally dst-sorted valid COO (every existing
+    impl accepts it). Raises :class:`GraphCapacityError` if any window
+    holds more than ``tile`` real edges — never truncates.
+
+    Why: ``message_pass_aggregate_onehot`` evaluates the src gather and
+    dst aggregate as batched (window, tile)-shaped one-hot MXU matmuls —
+    on backends where per-row gathers/scatters are the bottleneck
+    (measured ~100-400 ns/row on the axon TPU relay vs ~80 TFLOP/s for
+    matmuls), this layout turns the whole message step into matmul work.
+    """
+    node_cap = g.node_capacity
+    if node_cap % window:
+        raise GraphCapacityError(
+            f"node capacity {node_cap} not a multiple of window {window}"
+        )
+    nw = node_cap // window
+    dst = np.asarray(g.dst)
+    mask = np.asarray(g.edge_mask)
+    real = np.flatnonzero(mask)
+    w_of = dst[real] // window
+    counts = np.bincount(w_of, minlength=nw)
+    if counts.max(initial=0) > tile:
+        raise GraphCapacityError(
+            f"window tile capacity {tile} exceeded (max {int(counts.max())} "
+            f"real edges in one {window}-node window); raise the plan's "
+            f"edge_tile"
+        )
+    starts = np.zeros(nw + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    # real edges are dst-sorted ⇒ already grouped by window in order
+    within = np.arange(len(real), dtype=np.int64) - starts[w_of]
+    new_pos = w_of * tile + within
+
+    E2 = nw * tile
+    # pads: masked self-loops on each window's LAST node — keeps dst
+    # globally sorted and |src - dst| = 0 (locality-safe)
+    pad_node = (
+        np.repeat(np.arange(nw, dtype=np.int32), tile) * window + window - 1
+    )
+    src = pad_node.copy()
+    dst2 = pad_node.copy()
+    bond_ids = np.zeros(E2, np.int32)
+    edge_mask = np.zeros(E2, bool)
+    src[new_pos] = np.asarray(g.src)[real]
+    dst2[new_pos] = dst[real]
+    bond_ids[new_pos] = np.asarray(g.bond_ids)[real]
+    edge_mask[new_pos] = True
+    # pads sit AFTER the window's real edges, whose dst ≤ window last node,
+    # and before the next window's (≥ (w+1)*window) ⇒ still sorted — but
+    # within a window, real dsts ≤ pad dst only holds because pads use the
+    # window's last node; interleaving is avoided by placing pads at the
+    # tile tail (new_pos is a prefix of each tile by construction).
+    return PackedGraphs(
+        atom_ids=g.atom_ids,
+        bond_ids=bond_ids,
+        src=src,
+        dst=dst2,
+        node_graph=g.node_graph,
+        node_local=g.node_local,
+        node_mask=g.node_mask,
+        edge_mask=edge_mask,
+        n_graphs=g.n_graphs,
+        edge_layout="window",
+    )
+
+
+def window_tile_batch(
+    batch: "IonPairBatch", tile: int, window: int = ONEHOT_WINDOW
+) -> "IonPairBatch":
+    """Apply :func:`window_tile_edges` to both ions of a batch."""
+    return IonPairBatch(
+        cation=window_tile_edges(batch.cation, tile, window),
+        anion=window_tile_edges(batch.anion, tile, window),
+        temperature=batch.temperature,
+        y=batch.y,
+        sample_mask=batch.sample_mask,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,7 @@ class IonEncoder(nn.Module):
                 compute_dtype=dtype,
                 impl=cfg.message_impl,
                 scatter=cfg.scatter_impl,
+                window=cfg.onehot_window,
                 ep_axis=cfg.ep_axis,
                 name=f"bmm_{step}",
             )(h, bond_table, graphs.bond_ids, graphs.src, graphs.dst, edge_mask)

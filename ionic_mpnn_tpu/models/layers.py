@@ -24,6 +24,7 @@ from flax import linen as nn
 from ..ops.message import (
     bond_type_matrices,
     message_pass_aggregate,
+    message_pass_aggregate_onehot,
     message_pass_aggregate_symmetric,
     message_pass_aggregate_typed,
 )
@@ -62,6 +63,7 @@ class BondMatrixMessage(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     impl: str = "gather"
     scatter: str = "xla"  # "xla" | "pallas" (sorted-scatter kernel)
+    window: int = 128  # node window for impl="onehot" (window-tiled edges)
     # Inside shard_map with edge arrays sharded over this axis, per-shard
     # aggregates are merged with one psum (edge-partitioned execution).
     ep_axis: str | None = None
@@ -100,6 +102,15 @@ class BondMatrixMessage(nn.Module):
             agg = fused_message_aggregate(
                 h, message_table_to_lanes(m_table), bond_ids, src, dst,
                 edge_mask, h.shape[0],
+            )
+        elif self.impl == "onehot":
+            # all-MXU windowed one-hot matmuls — requires the window-tiled
+            # edge layout (BatchPlan(edge_layout="window"))
+            assert self.ep_axis is None, (
+                "onehot does not compose with edge partitioning yet"
+            )
+            agg = message_pass_aggregate_onehot(
+                h, bond_ids, src, dst, m_table, edge_mask, window=self.window
             )
         elif self.impl == "typed":
             agg = message_pass_aggregate_typed(h, bond_ids, src, dst, m_table, edge_mask)

@@ -44,6 +44,7 @@ __all__ = [
     "parity_edge_mask",
     "message_pass_aggregate",
     "message_pass_aggregate_symmetric",
+    "message_pass_aggregate_onehot",
 ]
 
 
@@ -219,6 +220,89 @@ def _mpa_sym_bwd(res, g):
 
 
 message_pass_aggregate_symmetric.defvjp(_mpa_sym_fwd, _mpa_sym_bwd)
+
+
+def message_pass_aggregate_onehot(
+    node_states: jnp.ndarray,  # (N, D)
+    bond_ids: jnp.ndarray,  # (nw·T,) int32 — WINDOW-TILED edge layout
+    src: jnp.ndarray,  # (nw·T,)
+    dst: jnp.ndarray,  # (nw·T,)
+    m_table: jnp.ndarray,  # (V, D, D)
+    edge_mask: jnp.ndarray,  # (nw·T,) bool
+    window: int = 128,
+) -> jnp.ndarray:
+    """All-MXU message + aggregate: zero gathers, zero scatters.
+
+    Requires the WINDOW-TILED edge layout
+    (:func:`ionic_mpnn_tpu.data.packing.window_tile_edges`): window ``w``
+    (nodes ``[w·W, (w+1)·W)``) owns edge slots ``[w·T, (w+1)·T)``, and by
+    the packer's molecule-contiguity every real edge satisfies
+    ``|src − dst| < W`` (the same checked locality contract as
+    :mod:`..ops.pallas.fused_message`). Then per window:
+
+      1. **src gather as a one-hot matmul** against the 3-window halo
+         context ``ctx[w] = h[(w−1)·W : (w+2)·W]``:
+         ``hs = O_src (T, 3W) @ ctx (3W, D)``,
+      2. **typed bond transform as one lane-stacked matmul**
+         ``X = hs @ K`` with ``K (D, V·D)`` the stacked ``M_vᵀ``, selecting
+         each edge's type lane with a one-hot multiply-reduce,
+      3. **aggregate as a one-hot matmul**
+         ``agg[w] = O_dst (W, T) @ m (T, D)``.
+
+    The one-hots depend only on the edge structure, so XLA CSE builds
+    them once per forward and reuses them across all message steps; the
+    autodiff backward consists of the SAME one-hot matmuls transposed —
+    the whole step (fwd and bwd) is batched MXU work. This wins on
+    backends where per-row gather/scatter cost dominates (measured
+    ~100-400 ns/row on the axon TPU relay vs ~80 TFLOP/s matmul;
+    RESULTS.md round 2); the redundant one-hot FLOPs (3W per edge) are
+    cheap by comparison.
+
+    Reference math covered: ``models/layers.py:106-112`` (message) +
+    ``:74,142`` (masked destination sum).
+    """
+    N, D = node_states.shape
+    V = m_table.shape[0]
+    E = src.shape[0]
+    assert N % window == 0, (N, window)
+    nw = N // window
+    assert E % nw == 0, (
+        f"edge count {E} not divisible into {nw} windows — "
+        f"message_impl='onehot' needs the window-tiled edge layout "
+        f"(BatchPlan(edge_layout='window'))"
+    )
+    T = E // nw
+    dtype = node_states.dtype
+
+    # 3-window halo context (nw, 3W, D) — pure reshape/pad, no gather
+    hp = jnp.pad(node_states.reshape(nw, window, D), ((1, 1), (0, 0), (0, 0)))
+    ctx = jnp.concatenate([hp[:-2], hp[1:-1], hp[2:]], axis=1)
+
+    w_of = jnp.arange(E, dtype=jnp.int32) // T
+    src_local = (src - (w_of - 1) * window).reshape(nw, T)
+    maskf = edge_mask.reshape(nw, T)
+
+    # (nw, T, 3W) one-hot src (out-of-range/masked rows are all-zero)
+    o_src = (src_local[:, :, None] == jnp.arange(3 * window, dtype=jnp.int32)) & maskf[:, :, None]
+    hs = jnp.einsum(
+        "wts,wsd->wtd", o_src.astype(dtype), ctx,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+    # typed transform: K[j, v·D+i] = M_v[i, j] ⇒ (hs @ K)[e, v·D+i] = (M_v hs_e)[i]
+    K = m_table.transpose(2, 0, 1).reshape(D, V * D).astype(dtype)
+    X = jnp.dot(hs.reshape(E, D), K, preferred_element_type=jnp.float32)
+    o_bond = jax.nn.one_hot(bond_ids, V, dtype=X.dtype)
+    m = jnp.einsum("evd,ev->ed", X.reshape(E, V, D), o_bond).astype(dtype)
+
+    # aggregate: (nw, W, T) one-hot dst @ (nw, T, D) messages
+    dst_local = (dst - w_of * window).reshape(nw, T)
+    o_dst = dst_local[:, :, None] == jnp.arange(window, dtype=jnp.int32)
+    agg = jnp.einsum(
+        "wtn,wtd->wnd", o_dst.astype(dtype), m.reshape(nw, T, D),
+        preferred_element_type=jnp.float32,
+    )
+    return agg.reshape(N, D)
 
 
 def message_pass_aggregate_typed(

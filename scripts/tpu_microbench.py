@@ -175,10 +175,29 @@ def main():
         )
 
         impl = which.split("-", 1)[1]
+        if impl == "onehot":
+            # re-pack on the window-tiled layout the op requires
+            from ionic_mpnn_tpu.data.loader import plan_capacities as _pc
+            from ionic_mpnn_tpu.data import iter_batches as _ib
+
+            plan_w = _pc(records, batch_size=bs, edge_layout="window")
+            g = next(_ib(records[:bs], plan_w)).cation
+            h = jnp.array(rng.normal(size=(plan_w.node_cap, D)).astype(np.float32))
+            cot = jnp.array(rng.normal(size=h.shape).astype(np.float32))
+            bond = jnp.array(g.bond_ids)
+            src = jnp.array(g.src)
+            dst = jnp.array(g.dst)
+            mask = jnp.array(g.edge_mask)
+            n_real_edges = int(np.asarray(g.edge_mask).sum())
 
         def one(h_, W_, table_, bond_, src_, dst_, mask_, cot_):
             m_table = bond_type_matrices(table_, W_)
-            if impl == "typed":
+            if impl == "onehot":
+                from ionic_mpnn_tpu.ops.message import message_pass_aggregate_onehot
+
+                out = message_pass_aggregate_onehot(
+                    h_, bond_, src_, dst_, m_table, mask_)
+            elif impl == "typed":
                 out = message_pass_aggregate_typed(h_, bond_, src_, dst_, m_table, mask_)
             elif impl == "symmetric":
                 out = message_pass_aggregate_symmetric(h_, bond_, src_, dst_, m_table, mask_)

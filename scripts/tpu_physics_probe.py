@@ -99,6 +99,78 @@ def bench_bandwidth(mb=256, K=8, iters=3, warmup=1):
     return dt
 
 
+def bench_gather(n_rows=226_944, n_idx=454_272, d=32, K=8, iters=3, warmup=1,
+                 tag="gather"):
+    """Honest ns/row for a sorted row gather (the MP step's src lookup)."""
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((n_rows, d)), jnp.float32)
+    idx = jnp.asarray(np.sort(rng.integers(0, n_rows, n_idx)), jnp.int32)
+
+    @jax.jit
+    def fn(t, idx):
+        # the indices vary per iteration (idx+i) so XLA can't hoist the
+        # gather out of the loop as loop-invariant
+        def body(c, i):
+            g = jnp.take(t, jnp.minimum(idx + i, n_rows - 1), axis=0)
+            return c + jnp.sum(g) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0),
+                            jnp.arange(K, dtype=jnp.int32))
+        return c
+
+    for _ in range(warmup):
+        s = fn(table, idx)
+    np.asarray(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = fn(table, idx)
+    np.asarray(s)
+    dt = (time.perf_counter() - t0) / iters
+    per_row = dt / K / n_idx
+    print(
+        f'{{"which": "{tag}", "rows": {n_idx}, "d": {d}, "K": {K}, '
+        f'"ms_per_gather": {dt/K*1e3:.3f}, "ns_per_row": {per_row*1e9:.2f}, '
+        f'"gb_per_s": {n_idx*d*4*K/dt/1e9:.1f}}}',
+        flush=True,
+    )
+    return dt
+
+
+def bench_scatter(n_rows=226_944, n_idx=454_272, d=32, K=8, iters=3, warmup=1):
+    """Honest ns/row for a sorted segment-sum (the MP step's aggregate)."""
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.standard_normal((n_idx, d)), jnp.float32)
+    idx = jnp.asarray(np.sort(rng.integers(0, n_rows, n_idx)), jnp.int32)
+
+    @jax.jit
+    def fn(v, idx):
+        def body(c, i):
+            s = jax.ops.segment_sum(v + c, jnp.minimum(idx + i, n_rows - 1),
+                                    num_segments=n_rows,
+                                    indices_are_sorted=True)
+            return c + jnp.sum(s) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, jnp.float32(0),
+                            jnp.arange(K, dtype=jnp.int32))
+        return c
+
+    for _ in range(warmup):
+        s = fn(vals, idx)
+    np.asarray(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = fn(vals, idx)
+    np.asarray(s)
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        f'{{"which": "scatter", "rows": {n_idx}, "d": {d}, "K": {K}, '
+        f'"ms_per_segsum": {dt/K*1e3:.3f}, '
+        f'"ns_per_row": {dt/K/n_idx*1e9:.2f}}}',
+        flush=True,
+    )
+    return dt
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "matmul"
     if mode in ("matmul", "matmul-f32"):
@@ -111,6 +183,14 @@ def main():
         mb = int(sys.argv[2]) if len(sys.argv) > 2 else 256
         K = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         bench_bandwidth(mb, K)
+    elif mode == "gather":
+        n_idx = int(sys.argv[2]) if len(sys.argv) > 2 else 454_272
+        d = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        bench_gather(n_idx=n_idx, d=d)
+    elif mode == "scatter":
+        n_idx = int(sys.argv[2]) if len(sys.argv) > 2 else 454_272
+        d = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        bench_scatter(n_idx=n_idx, d=d)
     elif mode == "matmul2":
         bench_matmul(4096, 8, 3, tag="matmul2-first-4096")
         bench_matmul(2048, 8, 3, tag="matmul2-second-2048")

@@ -1,0 +1,178 @@
+"""Window-tiled edge layout + all-MXU one-hot message path.
+
+The one-hot implementation (``message_impl="onehot"``) must be
+numerically interchangeable with the gather reference implementation on
+the same graphs — tiling only re-orders edge slots, and summation is
+exact for these magnitudes in float32.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ionic_mpnn_tpu.benchmarks import make_bench_dataset
+from ionic_mpnn_tpu.config import viscosity_config
+from ionic_mpnn_tpu.data import iter_batches, plan_capacities
+from ionic_mpnn_tpu.data.packing import (
+    GraphCapacityError,
+    window_tile_batch,
+    window_tile_edges,
+)
+from ionic_mpnn_tpu.models import ViscosityModel
+from ionic_mpnn_tpu.ops.message import (
+    bond_type_matrices,
+    message_pass_aggregate,
+    message_pass_aggregate_onehot,
+)
+
+BS = 48
+
+
+@pytest.fixture(scope="module")
+def data():
+    records, vocab = make_bench_dataset(BS, seed=3)
+    return records, vocab
+
+
+@pytest.fixture(scope="module")
+def plans(data):
+    records, _ = data
+    plan_s = plan_capacities(records, batch_size=BS)
+    plan_w = plan_capacities(records, batch_size=BS, edge_layout="window")
+    return plan_s, plan_w
+
+
+def test_window_plan_shapes(plans):
+    plan_s, plan_w = plans
+    assert plan_w.edge_layout == "window"
+    assert plan_w.node_cap % plan_w.window == 0
+    assert plan_w.edge_tile > 0
+
+
+def _sorted_plan_at_window_caps(plan_w):
+    from ionic_mpnn_tpu.data.loader import BatchPlan
+
+    return BatchPlan(
+        batch_size=plan_w.batch_size, node_cap=plan_w.node_cap,
+        edge_cap=plan_w.edge_cap, duplicate_edges=plan_w.duplicate_edges,
+        with_temperature=plan_w.with_temperature, target_key=plan_w.target_key,
+    )
+
+
+def test_tiling_preserves_edges_and_sortedness(data, plans):
+    records, _ = data
+    _, plan_w = plans
+    batch = next(iter_batches(records, _sorted_plan_at_window_caps(plan_w)))
+    g = batch.cation
+    tiled = window_tile_edges(g, plan_w.edge_tile, plan_w.window)
+    assert tiled.edge_layout == "window"
+    nw = g.node_capacity // plan_w.window
+    assert tiled.src.shape[0] == nw * plan_w.edge_tile
+
+    def real_set(gg):
+        m = np.asarray(gg.edge_mask)
+        return sorted(
+            zip(np.asarray(gg.src)[m], np.asarray(gg.dst)[m], np.asarray(gg.bond_ids)[m])
+        )
+
+    assert real_set(tiled) == real_set(g)
+    # still globally dst-sorted (valid input for every other impl)
+    assert np.all(np.diff(np.asarray(tiled.dst)) >= 0)
+    # every real edge sits in its dst's window tile
+    m = np.asarray(tiled.edge_mask)
+    slots = np.flatnonzero(m)
+    w_slot = slots // plan_w.edge_tile
+    w_dst = np.asarray(tiled.dst)[slots] // plan_w.window
+    assert np.array_equal(w_slot, w_dst)
+
+
+def test_tiling_overflow_raises(data, plans):
+    records, _ = data
+    _, plan_w = plans
+    batch = next(iter_batches(records, _sorted_plan_at_window_caps(plan_w)))
+    with pytest.raises(GraphCapacityError):
+        window_tile_edges(batch.cation, tile=2, window=128)
+
+
+def _tables(vocab, seed=0):
+    rng = np.random.default_rng(seed)
+    V = vocab.bond_vocab_size + 1
+    table = jnp.asarray(rng.normal(size=(V, 8)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(8, 32, 32)) * 0.2).astype(np.float32))
+    return bond_type_matrices(table, w)
+
+
+def test_onehot_matches_gather(data, plans):
+    records, vocab = data
+    _, plan_w = plans
+    batch = next(iter_batches(records, plan_w))
+    g = batch.anion
+    rng = np.random.default_rng(1)
+    h = jnp.asarray(rng.normal(size=(g.node_capacity, 32)).astype(np.float32))
+    m_table = _tables(vocab)
+    ref = message_pass_aggregate(
+        h, jnp.asarray(g.bond_ids), jnp.asarray(g.src), jnp.asarray(g.dst),
+        m_table, jnp.asarray(g.edge_mask),
+    )
+    out = message_pass_aggregate_onehot(
+        h, jnp.asarray(g.bond_ids), jnp.asarray(g.src), jnp.asarray(g.dst),
+        m_table, jnp.asarray(g.edge_mask), window=plan_w.window,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_onehot_gradients_match(data, plans):
+    records, vocab = data
+    _, plan_w = plans
+    g = next(iter_batches(records, plan_w)).cation
+    rng = np.random.default_rng(2)
+    h = jnp.asarray(rng.normal(size=(g.node_capacity, 32)).astype(np.float32))
+    m_table = _tables(vocab)
+    cot = jnp.asarray(rng.normal(size=h.shape).astype(np.float32))
+    args = (jnp.asarray(g.bond_ids), jnp.asarray(g.src), jnp.asarray(g.dst))
+    mask = jnp.asarray(g.edge_mask)
+
+    def loss(fn, h_, m_):
+        kw = {"window": plan_w.window} if fn is message_pass_aggregate_onehot else {}
+        return jnp.sum(fn(h_, *args, m_, mask, **kw) * cot)
+
+    gh_ref, gm_ref = jax.grad(lambda h_, m_: loss(message_pass_aggregate, h_, m_),
+                              argnums=(0, 1))(h, m_table)
+    gh, gm = jax.grad(lambda h_, m_: loss(message_pass_aggregate_onehot, h_, m_),
+                      argnums=(0, 1))(h, m_table)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("parity_mode", [False, True])
+def test_model_level_parity(data, plans, parity_mode):
+    """Full ViscosityModel: onehot on the tiled batch == gather on sorted."""
+    records, vocab = data
+    plan_s, plan_w = plans
+    batch_w = next(iter_batches(records, plan_w))
+    # node layouts must match for a like-for-like check: build the sorted
+    # batch at the window plan's node capacity
+    batch_s = next(iter_batches(records, _sorted_plan_at_window_caps(plan_w)))
+
+    cfg_g = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                             parity_mode=parity_mode)
+    import dataclasses
+
+    cfg_o = dataclasses.replace(cfg_g, message_impl="onehot")
+    model_g, model_o = ViscosityModel(cfg_g), ViscosityModel(cfg_o)
+    variables = model_g.init(jax.random.PRNGKey(0), batch_s)
+    pred_g = model_g.apply(variables, batch_s, deterministic=True)["pred"]
+    pred_o = model_o.apply(variables, batch_w, deterministic=True)["pred"]
+    np.testing.assert_allclose(np.asarray(pred_o), np.asarray(pred_g),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_loader_emits_tiled_batches(data, plans):
+    records, _ = data
+    _, plan_w = plans
+    for batch in iter_batches(records, plan_w, shuffle=True, seed=7):
+        for g in (batch.cation, batch.anion):
+            assert g.edge_layout == "window"
+            nw = g.node_capacity // plan_w.window
+            assert g.src.shape[0] == nw * plan_w.edge_tile
