@@ -33,8 +33,10 @@ def main() -> int:
                         help="train steps folded into one jit call (lax.scan)")
     parser.add_argument("--no-baseline", action="store_true")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
-    parser.add_argument("--message-impl", default="gather",
-                        choices=["gather", "typed", "symmetric", "onehot"])
+    parser.add_argument("--message-impl", default="auto",
+                        choices=["auto", "gather", "typed", "symmetric", "onehot"],
+                        help="auto = onehot on accelerators (battery-9 A/B: "
+                             "8.7x over gather on the v5e relay), gather on CPU")
     parser.add_argument("--model", default="viscosity", choices=["viscosity", "mp"],
                         help="mp = melting-point config (bond_dim=1024)")
     parser.add_argument("--dense-only", action="store_true",
@@ -49,6 +51,10 @@ def main() -> int:
     from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    from ionic_mpnn_tpu.config import resolve_message_impl
+
+    args.message_impl = resolve_message_impl(args.message_impl)
 
     from ionic_mpnn_tpu.benchmarks import (
         bench_dense_reference,
@@ -125,6 +131,7 @@ def main() -> int:
         "batch_size": args.batch_size,
         "num_steps": args.num_steps,
         "model": args.model,
+        "message_impl": args.message_impl,
         "vs_baseline": 1.0,
     }
     if not (args.packed_only or on_cpu or args.repeats <= 1):

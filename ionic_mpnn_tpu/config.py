@@ -20,7 +20,33 @@ __all__ = [
     "melting_point_config",
     "model_config_to_dict",
     "model_config_from_dict",
+    "resolve_message_impl",
+    "edge_layout_for",
 ]
+
+
+def resolve_message_impl(impl: str = "auto") -> str:
+    """Resolve ``"auto"`` to the fastest measured impl for the active backend.
+
+    ``"onehot"`` on accelerators: the all-MXU windowed one-hot path runs the
+    flagship train step in 22.7 ms at batch 2048 vs 197 ms for the gather
+    impl on the TPU v5e relay (fetch-synced A/B, RESULTS.md battery 9) —
+    per-row gather/scatter is ~1000× off roofline there while matmuls run
+    near peak. ``"gather"`` on CPU, where the one-hot formulation's
+    redundant FLOPs (3·window per edge) actually cost time.
+    """
+    if impl != "auto":
+        return impl
+    import jax
+
+    return "onehot" if jax.devices()[0].platform != "cpu" else "gather"
+
+
+def edge_layout_for(message_impl: str) -> str:
+    """Batch edge layout a message impl needs: ``"window"`` tiling for the
+    one-hot path (see ``ops/message.py::message_pass_aggregate_onehot``),
+    dst-``"sorted"`` COO for everything else (every impl accepts window)."""
+    return "window" if message_impl == "onehot" else "sorted"
 
 
 @dataclass(frozen=True)

@@ -292,6 +292,17 @@ def window_tile_edges(
     real = np.flatnonzero(mask)
     w_of = dst[real] // window
     counts = np.bincount(w_of, minlength=nw)
+    if len(real):
+        # onehot's 3-window halo only sees src within ±window of dst —
+        # guaranteed when molecules are node-contiguous and < window atoms;
+        # check rather than silently zero out-of-halo messages
+        span = int(np.abs(np.asarray(g.src)[real].astype(np.int64)
+                          - dst[real].astype(np.int64)).max())
+        if span >= window:
+            raise GraphCapacityError(
+                f"edge src/dst span {span} >= onehot window {window} — "
+                f"a molecule exceeds the window locality contract"
+            )
     if counts.max(initial=0) > tile:
         raise GraphCapacityError(
             f"window tile capacity {tile} exceeded (max {int(counts.max())} "

@@ -275,7 +275,22 @@ class ScreeningEngine:
                 with_temperature=self.plan.with_temperature,
                 duplicate_edges=self.plan.duplicate_edges,
             )
+        if self.plan.edge_layout == "window":
+            from .data.packing import window_tile_batch
+
+            batch = window_tile_batch(batch, self._edge_tile(), self.plan.window)
         return batch
+
+    def _edge_tile(self) -> int:
+        """Static per-window edge tile for window-layout batches. Uses the
+        plan's tile when set; otherwise an absolute chemical bound — every
+        real edge is counted at its dst, so a window holds at most
+        ``window × max-atom-degree (6, hypervalent) × duplication`` edges.
+        The host tiler still RAISES on overflow, never truncates."""
+        if self.plan.edge_tile > 0:
+            return self.plan.edge_tile
+        dup = 2 if self.plan.duplicate_edges else 1
+        return self.plan.window * 6 * dup
 
     def predict_batch(self, candidates: Sequence[Tuple[str, str, float]]) -> np.ndarray:
         """Predict up to ``n_dev · plan.batch_size`` candidates → (len,)."""
@@ -431,15 +446,36 @@ class ScreeningEngine:
         from .data.packing import round_up
 
         dup = 2 if self.plan.duplicate_edges else 1  # parity fwd+rev
+        # window-tiled edge layout when the model runs the all-MXU onehot
+        # message path; per-window tile sized by the proven pool bound
+        layout = self.plan.edge_layout
+        window = self.plan.window
+        edge_tile = 0
+        node_mult = 128
+        if layout == "window":
+            from .ops.grid_pack import pool_window_tile_bound
+
+            node_mult = max(node_mult, window)
+            a_all = np.concatenate([cat_pool.a_len, an_pool.a_len])
+            e_all = dup * np.concatenate([cat_pool.e_len, an_pool.e_len])
+            if a_all.size and int(a_all.max()) > window:
+                raise ValueError(
+                    f"onehot window {window} < largest ion "
+                    f"({int(a_all.max())} atoms) — locality contract broken"
+                )
+            edge_tile = pool_window_tile_bound(a_all, e_all, window)
         plan = BatchPlan(
             batch_size=B,
             node_cap=round_up(max(_batch_max(cat_pool.a_len[ci_all]),
-                                  _batch_max(an_pool.a_len[ai_all])) , 128),
+                                  _batch_max(an_pool.a_len[ai_all])), node_mult),
             edge_cap=round_up(dup * max(_batch_max(cat_pool.e_len[ci_all]),
                                         _batch_max(an_pool.e_len[ai_all])), 128),
             duplicate_edges=self.plan.duplicate_edges,
             with_temperature=self.plan.with_temperature,
             target_key=self.plan.target_key,
+            edge_layout=layout,
+            edge_tile=edge_tile,
+            window=window,
         )
         del gids, ci_all, ai_all
         k_batch = int(min(top_k, B))
@@ -468,6 +504,10 @@ class ScreeningEngine:
                 y=np.zeros(B, np.float32),
                 sample_mask=mask,
             )
+            if plan.edge_layout == "window":
+                from .data.packing import window_tile_batch
+
+                batch = window_tile_batch(batch, plan.edge_tile, plan.window)
             return batch, ci, ai, ti
 
         q: "queue.Queue" = queue.Queue(maxsize=pack_ahead)
@@ -563,6 +603,8 @@ class ScreeningEngine:
                 node_cap=plan.node_cap, edge_cap=plan.edge_cap,
                 duplicate_edges=plan.duplicate_edges,
                 with_temperature=plan.with_temperature,
+                edge_layout=plan.edge_layout, edge_tile=plan.edge_tile,
+                window=plan.window,
             )
             pred = self._fwd(v, batch)
             score = jnp.where(

@@ -43,7 +43,14 @@ from flax import struct
 
 from ..data.packing import IonPairBatch, PackedGraphs
 
-__all__ = ["DevicePool", "device_pool", "pack_side_on_device", "grid_batch_on_device"]
+__all__ = [
+    "DevicePool",
+    "device_pool",
+    "pack_side_on_device",
+    "grid_batch_on_device",
+    "window_tile_on_device",
+    "pool_window_tile_bound",
+]
 
 
 @struct.dataclass
@@ -218,6 +225,79 @@ def pack_side_on_device(
     )
 
 
+def window_tile_on_device(
+    g: PackedGraphs, tile: int, window: int = 128
+) -> PackedGraphs:
+    """Device analogue of :func:`data.packing.window_tile_edges` — re-lay a
+    dst-sorted packed batch into fixed per-window edge tiles so
+    ``message_impl="onehot"`` (all-MXU one-hot matmuls) can consume
+    device-packed screening batches.
+
+    Pure GATHER formulation (no scatter — the expensive op on this
+    backend): real edges are a dst-sorted PREFIX of the edge arrays
+    (:func:`pack_side_on_device`'s layout), hence grouped contiguously by
+    node window, so window ``w``'s edges live at input positions
+    ``[starts[w], starts[w] + counts[w])`` and output slot ``(w, t)`` reads
+    input ``starts[w] + t`` when ``t < counts[w]`` (else a masked
+    self-loop pad on the window's last node — still sorted valid COO).
+
+    CAPACITY CONTRACT: callers must size ``tile`` with a proven bound
+    (:func:`pool_window_tile_bound` for grid sweeps — same bound
+    ``plan_capacities`` uses); a window with more than ``tile`` real edges
+    would silently drop the excess under jit, exactly the footgun the
+    host path raises on.
+    """
+    node_cap = g.node_capacity
+    assert node_cap % window == 0, (node_cap, window)
+    nw = node_cap // window
+    E = int(g.src.shape[0])
+    w_of = (g.dst // window).astype(jnp.int32)
+    # per-window real-edge counts: real edges are a window-grouped prefix
+    # and pads (idx nw) are the tail, so indices are sorted
+    idx = jnp.where(g.edge_mask, w_of, nw)
+    counts = jnp.zeros(nw + 1, jnp.int32).at[idx].add(
+        1, mode="drop", indices_are_sorted=True
+    )[:nw]
+    starts = _prefix_offsets(counts)[:nw]
+    s = jnp.arange(nw * tile, dtype=jnp.int32)
+    w = s // tile
+    t = s % tile
+    src_idx = jnp.clip(starts[w] + t, 0, E - 1)
+    valid = t < counts[w]
+    pad_node = w * window + (window - 1)
+    return PackedGraphs(
+        atom_ids=g.atom_ids,
+        bond_ids=jnp.where(valid, g.bond_ids[src_idx], 0).astype(jnp.int32),
+        src=jnp.where(valid, g.src[src_idx], pad_node).astype(jnp.int32),
+        dst=jnp.where(valid, g.dst[src_idx], pad_node).astype(jnp.int32),
+        node_graph=g.node_graph,
+        node_local=g.node_local,
+        node_mask=g.node_mask,
+        edge_mask=valid,
+        n_graphs=g.n_graphs,
+        edge_layout="window",
+    )
+
+
+def pool_window_tile_bound(
+    a_lens, e_lens, window: int = 128, multiple: int = 8
+) -> int:
+    """Proven per-window edge-tile bound for batches packed from ion pools
+    (same argument as ``plan_capacities(edge_layout="window")``): a
+    window's real edges come from molecules overlapping its node range —
+    fully-contained molecules contribute at most ``window · max(edges per
+    atom)`` and at most 2 molecules straddle the boundaries, each bounded
+    by the pool's largest edge count. ``e_lens`` must already include any
+    parity edge duplication (``DevicePool.e_len`` does)."""
+    a = np.maximum(np.asarray(a_lens, np.int64), 1)
+    e = np.asarray(e_lens, np.int64)
+    if e.size == 0:
+        return multiple
+    density = float((e / a).max())
+    tile = int(np.ceil(window * density)) + 2 * int(e.max())
+    return ((tile + multiple - 1) // multiple) * multiple
+
+
 def grid_batch_on_device(
     cat_pool: DevicePool,
     an_pool: DevicePool,
@@ -232,10 +312,18 @@ def grid_batch_on_device(
     edge_cap: int,
     duplicate_edges: bool = False,
     with_temperature: bool = True,
+    edge_layout: str = "sorted",
+    edge_tile: int = 0,
+    window: int = 128,
 ) -> IonPairBatch:
     """Materialize candidates ``[g0, g0+B)`` of the cation-fastest grid
     enumeration as a full :class:`IonPairBatch`, on device, from the
     scalar ``g0`` alone.
+
+    With ``edge_layout="window"`` both sides are re-laid into per-window
+    edge tiles of ``edge_tile`` slots (:func:`window_tile_on_device`) for
+    ``message_impl="onehot"`` — size ``edge_tile`` with
+    :func:`pool_window_tile_bound`.
 
     Enumeration order matches ``ScreeningEngine.screen_grid``:
     ``gid = ti * (C*A) + ai * C + ci`` (cation index cycles fastest so
@@ -253,6 +341,12 @@ def grid_batch_on_device(
     ti = safe // (C * A)
     cation = pack_side_on_device(cat_pool, ci, node_cap, edge_cap, duplicate_edges)
     anion = pack_side_on_device(an_pool, ai, node_cap, edge_cap, duplicate_edges)
+    if edge_layout == "window":
+        if edge_tile <= 0:
+            raise ValueError("edge_layout='window' needs edge_tile > 0 "
+                             "(use pool_window_tile_bound)")
+        cation = window_tile_on_device(cation, edge_tile, window)
+        anion = window_tile_on_device(anion, edge_tile, window)
     temperature = jnp.zeros((B, 1), jnp.float32)
     if with_temperature:
         temperature = jnp.where(in_range[:, None], temps[ti][:, None], 0.0)

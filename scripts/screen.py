@@ -39,13 +39,20 @@ def main() -> int:
                          "default device-resident grid packing")
     ap.add_argument("--steps-per-call", type=int, default=8,
                     help="batches folded into one dispatch (device path)")
+    ap.add_argument("--message-impl", default="auto",
+                    choices=["auto", "gather", "typed", "symmetric", "onehot"],
+                    help="execution strategy (param-tree-identical, so it can "
+                    "differ from the checkpoint's); auto = onehot on "
+                    "accelerators, gather on CPU")
     args = ap.parse_args()
 
     from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
-    from ionic_mpnn_tpu.config import viscosity_config
+    from ionic_mpnn_tpu.config import (
+        edge_layout_for, resolve_message_impl, viscosity_config,
+    )
     from ionic_mpnn_tpu.data import Vocab
     from ionic_mpnn_tpu.data.loader import BatchPlan
     from ionic_mpnn_tpu.data.synthetic import ANION_SMILES, CATION_TEMPLATES
@@ -61,6 +68,8 @@ def main() -> int:
         cfg = model_config_from_dict(restored["extra"]["model_config"])
     else:
         cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
+    impl = resolve_message_impl(args.message_impl)
+    cfg = cfg.replace(message_impl=impl)
     model = ViscosityModel(cfg)
 
     if args.candidates:
@@ -83,11 +92,12 @@ def main() -> int:
     # must match the checkpoint's training mode (parity = duplicated edges)
     plan = BatchPlan(
         batch_size=args.batch_size,
-        node_cap=args.batch_size * 96,
+        node_cap=args.batch_size * 96,  # multiple of the 128 onehot window
         edge_cap=args.batch_size * 256,
         target_key="log_eta",
         with_temperature=True,
         duplicate_edges=cfg.parity_mode,
+        edge_layout=edge_layout_for(impl),
     )
     engine = ScreeningEngine(model, restored["params"], vocab, plan,
                              normalizer=restored.get("normalizer"))

@@ -130,9 +130,13 @@ def main():
                              "utilization operand 0 {}")}
             print(json.dumps({"which": which, "bs": bs, "cost": keep}))
             return
-        impl = which.split("-", 1)[1]
+        # step-IMPL[+OPT...] — e.g. step-onehot+fusedgru+bf16
+        spec = which.split("-", 1)[1]
+        parts = spec.split("+")
+        impl = parts[0]
         gru = "reference"
         scatter = "xla"
+        dtype = "float32"
         if impl == "fusedgru":
             impl, gru = "gather", "fused"
         if impl == "pallas":
@@ -141,9 +145,19 @@ def main():
             impl = "pallas_fused"
         if impl == "megakernel":
             impl = "pallas_step"
+        for opt in parts[1:]:
+            if opt == "fusedgru":
+                gru = "fused"
+            elif opt == "bf16":
+                dtype = "bfloat16"
+            elif opt == "pallas":
+                scatter = "pallas"
+            else:
+                raise SystemExit(f"unknown step option {opt}")
         r = bench_packed_train_step(records, vocab, batch_size=bs, iters=30,
                                     warmup=5, inner=8, message_impl=impl,
-                                    gru_impl=gru, scatter_impl=scatter)
+                                    gru_impl=gru, scatter_impl=scatter,
+                                    compute_dtype=dtype)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,

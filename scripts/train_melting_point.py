@@ -33,9 +33,14 @@ def main() -> int:
     ap.add_argument("--steps-per-call", type=int, default=0,
                     help="fold K train steps into one jitted lax.scan dispatch; 0 = auto (8 on TPU, 1 on CPU)")
     ap.add_argument("--parity-mode", action="store_true")
+    ap.add_argument("--message-impl", default="auto",
+                    choices=["auto", "gather", "typed", "symmetric", "onehot"],
+                    help="auto = onehot on accelerators, gather on CPU")
     args = ap.parse_args()
 
-    from ionic_mpnn_tpu.config import TrainConfig, melting_point_config
+    from ionic_mpnn_tpu.config import (
+        TrainConfig, edge_layout_for, melting_point_config, resolve_message_impl,
+    )
     from ionic_mpnn_tpu.data import Vocab, plan_capacities
     from ionic_mpnn_tpu.data.reference_io import load_id_data_npz, load_pickle
     from ionic_mpnn_tpu.models import MeltingPointModel
@@ -54,9 +59,11 @@ def main() -> int:
     test = [records[i] for i in idx_test]
     print(f"split: train={len(train)} dev={len(dev)} test={len(test)}")
 
+    impl = resolve_message_impl(args.message_impl)
     cfg = melting_point_config(
         vocab.atom_vocab_size, vocab.bond_vocab_size,
         atom_dim=args.atom_dim, num_steps=args.num_steps, parity_mode=args.parity_mode,
+        message_impl=impl,
     )
     tcfg = TrainConfig(
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
@@ -66,7 +73,8 @@ def main() -> int:
     )
     plan = plan_capacities(records, batch_size=tcfg.batch_size,
                            with_temperature=False, target_key="mp",
-                           duplicate_edges=args.parity_mode)
+                           duplicate_edges=args.parity_mode,
+                           edge_layout=edge_layout_for(impl))
     model = MeltingPointModel(cfg)
     result = fit(model, cfg, tcfg, train, dev, plan)
 

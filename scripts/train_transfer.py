@@ -31,9 +31,16 @@ def main() -> int:
     ap.add_argument("--patience", type=int, default=50)
     ap.add_argument("--num-steps", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--message-impl", default="auto",
+                    choices=["auto", "gather", "typed", "symmetric", "onehot"],
+                    help="auto = onehot on accelerators, gather on CPU; the "
+                    "impl is execution strategy only (param trees are "
+                    "identical), so it can differ from the checkpoint's")
     args = ap.parse_args()
 
-    from ionic_mpnn_tpu.config import viscosity_config
+    from ionic_mpnn_tpu.config import (
+        edge_layout_for, resolve_message_impl, viscosity_config,
+    )
     from ionic_mpnn_tpu.data import Vocab, plan_capacities
     from ionic_mpnn_tpu.data.reference_io import load_id_data_npz, load_pickle
     from ionic_mpnn_tpu.training import evaluate_splits, random_split, restore_checkpoint, save_checkpoint
@@ -64,7 +71,10 @@ def main() -> int:
         cfg = viscosity_config(
             vocab.atom_vocab_size, vocab.bond_vocab_size, num_steps=args.num_steps
         )
-    plan = plan_capacities(records, batch_size=32, with_temperature=False, target_key="mp")
+    impl = resolve_message_impl(args.message_impl)
+    cfg = cfg.replace(message_impl=impl)
+    plan = plan_capacities(records, batch_size=32, with_temperature=False,
+                           target_key="mp", edge_layout=edge_layout_for(impl))
 
     result = train_transfer(
         vis_params, cfg, train, dev, plan,

@@ -36,9 +36,14 @@ def main() -> int:
     ap.add_argument("--pair-split", action="store_true", help="leak-free pair-level split")
     ap.add_argument("--parity-mode", action="store_true", help="reproduce reference quirks")
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--message-impl", default="auto",
+                    choices=["auto", "gather", "typed", "symmetric", "onehot"],
+                    help="auto = onehot on accelerators, gather on CPU")
     args = ap.parse_args()
 
-    from ionic_mpnn_tpu.config import TrainConfig, viscosity_config
+    from ionic_mpnn_tpu.config import (
+        TrainConfig, edge_layout_for, resolve_message_impl, viscosity_config,
+    )
     from ionic_mpnn_tpu.data import Vocab, plan_capacities
     from ionic_mpnn_tpu.data.reference_io import load_id_data_npz, load_pickle
     from ionic_mpnn_tpu.models import ViscosityModel
@@ -63,9 +68,11 @@ def main() -> int:
     test = [records[i] for i in idx_test]
     print(f"split: train={len(train)} dev={len(dev)} test={len(test)}")
 
+    impl = resolve_message_impl(args.message_impl)
     cfg = viscosity_config(
         vocab.atom_vocab_size, vocab.bond_vocab_size,
         num_steps=args.num_steps, parity_mode=args.parity_mode, compute_dtype=args.dtype,
+        message_impl=impl,
     )
     tcfg = TrainConfig(
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
@@ -74,7 +81,8 @@ def main() -> int:
     )
     # capacities from ALL records so dev/test molecules can't overflow at eval
     plan = plan_capacities(records, batch_size=tcfg.batch_size,
-                           duplicate_edges=args.parity_mode)
+                           duplicate_edges=args.parity_mode,
+                           edge_layout=edge_layout_for(impl))
     model = ViscosityModel(cfg)
     result = fit(model, cfg, tcfg, train, dev, plan)
 

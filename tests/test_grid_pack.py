@@ -167,3 +167,76 @@ def test_screen_grid_device_matches_host_path(encoded_viscosity):
         [r.prediction for r in dev.results],
         [r.prediction for r in host.results], rtol=2e-5, atol=1e-6,
     )
+
+
+def test_window_tile_on_device_matches_host(encoded_viscosity):
+    """Device window tiler == host window_tile_edges on the same molecules."""
+    from ionic_mpnn_tpu.data.packing import window_tile_edges
+    from ionic_mpnn_tpu.ops.grid_pack import (
+        pool_window_tile_bound,
+        window_tile_on_device,
+    )
+
+    vocab = encoded_viscosity["vocab"]
+    pool = IonPool(IONS, vocab)
+    dpool = device_pool(pool)
+    sel = np.array([2, 0, 5, 3, 2, 1, 4, 0], np.int32)
+    node_cap, edge_cap = 128, 384
+    tile = pool_window_tile_bound(pool.a_len, pool.e_len, window=128)
+    dev = jax.jit(
+        lambda s: window_tile_on_device(
+            pack_side_on_device(dpool, s, node_cap, edge_cap), tile, 128
+        )
+    )(jnp.asarray(sel))
+
+    graphs = [encode_graph(smiles_to_graph(IONS[i]), vocab) for i in sel]
+    host = window_tile_edges(
+        pack_graphs(graphs, node_cap, edge_cap), tile, 128
+    )
+    assert dev.edge_layout == host.edge_layout == "window"
+    np.testing.assert_array_equal(dev.edge_mask, host.edge_mask)
+    m = np.asarray(host.edge_mask, bool)
+    np.testing.assert_array_equal(np.asarray(dev.src)[m], np.asarray(host.src)[m])
+    np.testing.assert_array_equal(np.asarray(dev.dst)[m], np.asarray(host.dst)[m])
+    np.testing.assert_array_equal(np.asarray(dev.bond_ids)[m],
+                                  np.asarray(host.bond_ids)[m])
+    # pad slots stay locality-safe self-loops with bond 0
+    np.testing.assert_array_equal(np.asarray(dev.src)[~m], np.asarray(dev.dst)[~m])
+    assert np.all(np.asarray(dev.bond_ids)[~m] == 0)
+
+
+def test_screen_grid_onehot_matches_gather(encoded_viscosity):
+    """Full device sweep on the onehot/window path == the gather path."""
+    from ionic_mpnn_tpu.inference import ScreeningEngine
+
+    base = _engine(encoded_viscosity)
+    cfg_oh = base.model.cfg.replace(message_impl="onehot")
+    from ionic_mpnn_tpu.data.loader import BatchPlan
+    from ionic_mpnn_tpu.models import ViscosityModel
+
+    plan_oh = BatchPlan(
+        batch_size=base.plan.batch_size,
+        node_cap=base.plan.node_cap,
+        edge_cap=base.plan.edge_cap,
+        edge_layout="window",
+    )
+    eng_oh = ScreeningEngine(ViscosityModel(cfg_oh), base._variables["params"],
+                             base.vocab, plan_oh)
+    cations, anions, temps = IONS[:3], IONS[3:], [290.0, 320.0, 360.0]
+    ref = base.screen_grid(cations, anions, temps, top_k=7,
+                           device_pack=True, steps_per_call=2)
+    oh = eng_oh.screen_grid(cations, anions, temps, top_k=7,
+                            device_pack=True, steps_per_call=2)
+    assert [(r.cation, r.anion, r.temperature) for r in oh.results] == \
+           [(r.cation, r.anion, r.temperature) for r in ref.results]
+    np.testing.assert_allclose(
+        [r.prediction for r in oh.results],
+        [r.prediction for r in ref.results], rtol=2e-5, atol=1e-6,
+    )
+    # streaming predict_batch path tiles on host (conservative tile) —
+    # same numbers again
+    cands = [(cations[0], anions[0], 300.0), (cations[2], anions[1], 340.0)]
+    np.testing.assert_allclose(
+        eng_oh.predict_batch(cands), base.predict_batch(cands),
+        rtol=2e-5, atol=1e-6,
+    )

@@ -176,3 +176,15 @@ def test_loader_emits_tiled_batches(data, plans):
             assert g.edge_layout == "window"
             nw = g.node_capacity // plan_w.window
             assert g.src.shape[0] == nw * plan_w.edge_tile
+
+
+def test_resolve_message_impl_auto():
+    """'auto' resolves per backend: gather on CPU (conftest pins CPU),
+    explicit impls pass through untouched."""
+    from ionic_mpnn_tpu.config import edge_layout_for, resolve_message_impl
+
+    assert resolve_message_impl("auto") == "gather"  # tests run on CPU
+    for impl in ("gather", "typed", "symmetric", "onehot"):
+        assert resolve_message_impl(impl) == impl
+    assert edge_layout_for("onehot") == "window"
+    assert edge_layout_for("gather") == "sorted"
