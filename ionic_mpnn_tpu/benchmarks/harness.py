@@ -93,6 +93,7 @@ def bench_packed_train_step(
     gru_impl: str = "reference",
     distinct_batches: bool = True,
     scatter_impl: str = "xla",
+    edge_layout: str = "",
 ) -> BenchResult:
     if model_kind == "mp":
         cfg = melting_point_config(
@@ -109,10 +110,10 @@ def bench_packed_train_step(
             scatter_impl=scatter_impl,
         )
     tcfg = TrainConfig()
-    plan = plan_capacities(
-        records, batch_size=batch_size,
-        edge_layout="window" if message_impl == "onehot" else "sorted",
-    )
+    if not edge_layout:
+        edge_layout = "window" if message_impl == "onehot" else "sorted"
+    plan = plan_capacities(records, batch_size=batch_size,
+                           edge_layout=edge_layout)
     batch = next(iter_batches(records[:batch_size], plan))
     batch = jax.tree.map(jnp.asarray, batch)
     if inner > 1 and distinct_batches:

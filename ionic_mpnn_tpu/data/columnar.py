@@ -107,6 +107,7 @@ def _pack_side(side: _Side, g0: int, g1: int, plan: BatchPlan) -> PackedGraphs:
         plan.node_cap,
         plan.edge_cap,
         duplicate_edges=plan.duplicate_edges,
+        node_align=plan.node_align,
     )
     atom_ids, bond_ids, src, dst, node_graph, node_local, node_mask, edge_mask = arrays
     # Same Pallas sorted-scatter capacity guard as the Python packer: the
@@ -151,6 +152,7 @@ def iter_batches_fast(
     starts = native.plan_batches_native(
         cn, ce * mult, an_n, an_e * mult,
         plan.batch_size, plan.node_cap, plan.edge_cap,
+        node_align=plan.node_align,
     )
 
     B = plan.batch_size
@@ -171,8 +173,11 @@ def iter_batches_fast(
             y=yy,
             sample_mask=mask,
         )
-        if plan.edge_layout == "window":
+        if plan.edge_layout in ("window", "window_aligned"):
             from .packing import window_tile_batch
 
-            batch = window_tile_batch(batch, plan.edge_tile, plan.window)
+            batch = window_tile_batch(
+                batch, plan.edge_tile, plan.window,
+                aligned=plan.edge_layout == "window_aligned",
+            )
         yield batch

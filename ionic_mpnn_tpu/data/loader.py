@@ -36,11 +36,19 @@ class BatchPlan:
     duplicate_edges: bool = False
     with_temperature: bool = True
     target_key: str = "log_eta"
-    # "sorted" (default) or "window": per-window edge tiles of edge_tile
-    # slots (message_impl="onehot" requires "window"; every impl accepts it)
+    # "sorted" (default), "window", or "window_aligned": per-window edge
+    # tiles of edge_tile slots (message_impl="onehot" requires a window
+    # layout; every impl accepts them). "window_aligned" additionally packs
+    # nodes so no molecule straddles a window boundary — the onehot path
+    # then skips the 3-window src halo and the tile bound drops its
+    # 2×max-molecule straddler term (tighter fill).
     edge_layout: str = "sorted"
     edge_tile: int = 0
     window: int = ONEHOT_WINDOW
+
+    @property
+    def node_align(self) -> int:
+        return self.window if self.edge_layout == "window_aligned" else 0
 
 
 def _record_sizes(rec: Dict[str, Any], duplicate_edges: bool) -> tuple:
@@ -88,8 +96,7 @@ def plan_capacities(
 
     node_cap = _cap(nodes, node_multiple)
     edge_tile = 0
-    if edge_layout == "window":
-        node_cap = round_up(node_cap, window)
+    if edge_layout in ("window", "window_aligned"):
         mult = 2 if duplicate_edges else 1
         density = max(
             (len(r[ion]["edge_indices"]) * mult) / max(int(r[ion]["num_atoms"]), 1)
@@ -97,7 +104,43 @@ def plan_capacities(
             for ion in ("cation", "anion")
         )
         max_mol_edges = int(edges.max())
-        edge_tile = round_up(int(np.ceil(window * density)) + 2 * max_mol_edges, 8)
+        if edge_layout == "window_aligned":
+            # no molecule straddles a window, so every window's edges come
+            # from molecules fully inside it: tile <= window * density.
+            # Node capacity must absorb the alignment gaps; estimate them by
+            # simulating aligned packing of shuffled size samples (batches
+            # still close early on overflow, so a tight cap only trades a
+            # little batch fill, never correctness).
+            max_mol = int(nodes.max())
+            if max_mol > window:
+                raise ValueError(
+                    f"largest molecule ({max_mol} atoms) exceeds the "
+                    f"alignment window ({window})"
+                )
+
+            def _aligned_usage(sizes: np.ndarray) -> int:
+                off = 0
+                for n in sizes:
+                    n = int(n)
+                    if off % window + n > window:
+                        off = round_up(off, window)
+                    off += n
+                return off
+
+            rng = np.random.default_rng(0)
+            sims = [
+                _aligned_usage(rng.choice(nodes, size=batch_size))
+                for _ in range(3)
+            ]
+            node_cap = round_up(
+                max(node_cap, max(sims)) + max_mol, window
+            )
+            edge_tile = round_up(int(np.ceil(window * density)), 8)
+        else:
+            node_cap = round_up(node_cap, window)
+            edge_tile = round_up(
+                int(np.ceil(window * density)) + 2 * max_mol_edges, 8
+            )
 
     return BatchPlan(
         batch_size=batch_size,
@@ -135,6 +178,14 @@ def iter_batches(
     used_nodes_c = used_nodes_a = used_edges_c = used_edges_a = 0
     mult = 2 if plan.duplicate_edges else 1
 
+    align = plan.node_align
+
+    def _place(used: int, n: int) -> int:
+        """Node rows used after placing an n-atom molecule (packer mirror)."""
+        if align > 1 and n and used % align + n > align:
+            used = round_up(used, align)
+        return used + n
+
     def _emit(ch: List[Dict[str, Any]]) -> IonPairBatch:
         batch = pack_ion_pair_batch(
             ch,
@@ -144,9 +195,13 @@ def iter_batches(
             target_key=plan.target_key,
             with_temperature=plan.with_temperature,
             duplicate_edges=plan.duplicate_edges,
+            node_align=align,
         )
-        if plan.edge_layout == "window":
-            batch = window_tile_batch(batch, plan.edge_tile, plan.window)
+        if plan.edge_layout in ("window", "window_aligned"):
+            batch = window_tile_batch(
+                batch, plan.edge_tile, plan.window,
+                aligned=plan.edge_layout == "window_aligned",
+            )
         return batch
 
     for idx in order:
@@ -162,8 +217,8 @@ def iter_batches(
             )
         overflow = (
             len(chunk) >= plan.batch_size
-            or used_nodes_c + nc > plan.node_cap
-            or used_nodes_a + na > plan.node_cap
+            or _place(used_nodes_c, nc) > plan.node_cap
+            or _place(used_nodes_a, na) > plan.node_cap
             or used_edges_c + ec > plan.edge_cap
             or used_edges_a + ea > plan.edge_cap
         )
@@ -172,8 +227,8 @@ def iter_batches(
             chunk = []
             used_nodes_c = used_nodes_a = used_edges_c = used_edges_a = 0
         chunk.append(rec)
-        used_nodes_c += nc
-        used_nodes_a += na
+        used_nodes_c = _place(used_nodes_c, nc)
+        used_nodes_a = _place(used_nodes_a, na)
         used_edges_c += ec
         used_edges_a += ea
 

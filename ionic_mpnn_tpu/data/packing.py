@@ -108,6 +108,7 @@ def pack_graphs(
     n_graphs: Optional[int] = None,
     duplicate_edges: bool = False,
     sort_edges_by_dst: bool = True,
+    node_align: int = 0,
 ) -> PackedGraphs:
     """Pack id-encoded molecule dicts into one fixed-capacity batch.
 
@@ -122,6 +123,12 @@ def pack_graphs(
         sort_edges_by_dst: sort the packed edge list by destination node
             (stable), giving deterministic aggregation order and CSR-like
             locality for the Pallas kernels.
+        node_align: > 0 forbids molecules from straddling ``node_align``-node
+            window boundaries (offsets bump to the next boundary instead) —
+            the ``edge_layout="window_aligned"`` contract: every edge's src
+            and dst share a window, so the onehot message path needs no
+            3-window halo and the per-window edge-tile bound loses its
+            2×max-molecule straddler term.
     """
     B = len(graphs)
     if n_graphs is None:
@@ -141,6 +148,14 @@ def pack_graphs(
     offset = 0
     for g_idx, g in enumerate(graphs):
         n = int(g["num_atoms"])
+        if node_align > 1 and n:
+            if n > node_align:
+                raise GraphCapacityError(
+                    f"molecule of {n} atoms cannot fit a {node_align}-node "
+                    f"aligned window"
+                )
+            if offset % node_align + n > node_align:
+                offset = round_up(offset, node_align)
         if offset + n > node_cap:
             raise GraphCapacityError(
                 f"node capacity {node_cap} exceeded at graph {g_idx} ({offset}+{n})"
@@ -232,6 +247,7 @@ def pack_ion_pair_batch(
     target_key: str = "log_eta",
     with_temperature: bool = True,
     duplicate_edges: bool = False,
+    node_align: int = 0,
 ) -> IonPairBatch:
     """Pack up to ``batch_size`` id-data records (reference ``*_id_data.pkl``
     row format) into one :class:`IonPairBatch`; short batches are padded
@@ -242,8 +258,10 @@ def pack_ion_pair_batch(
         raise GraphCapacityError(f"{n_real} records > batch size {B}")
     cat_graphs = [r["cation"] for r in records] + [_empty_graph()] * (B - n_real)
     an_graphs = [r["anion"] for r in records] + [_empty_graph()] * (B - n_real)
-    cation = pack_graphs(cat_graphs, node_cap, edge_cap, B, duplicate_edges)
-    anion = pack_graphs(an_graphs, node_cap, edge_cap, B, duplicate_edges)
+    cation = pack_graphs(cat_graphs, node_cap, edge_cap, B, duplicate_edges,
+                         node_align=node_align)
+    anion = pack_graphs(an_graphs, node_cap, edge_cap, B, duplicate_edges,
+                        node_align=node_align)
     temperature = np.zeros((B, 1), np.float32)
     y = np.zeros(B, np.float32)
     mask = np.zeros(B, np.float32)
@@ -263,7 +281,8 @@ ONEHOT_WINDOW = 128  # node window for message_impl="onehot" (lane-width)
 
 
 def window_tile_edges(
-    g: PackedGraphs, tile: int, window: int = ONEHOT_WINDOW
+    g: PackedGraphs, tile: int, window: int = ONEHOT_WINDOW,
+    aligned: bool = False,
 ) -> PackedGraphs:
     """Re-lay a dst-sorted packed batch into fixed per-window edge tiles.
 
@@ -293,16 +312,26 @@ def window_tile_edges(
     w_of = dst[real] // window
     counts = np.bincount(w_of, minlength=nw)
     if len(real):
-        # onehot's 3-window halo only sees src within ±window of dst —
-        # guaranteed when molecules are node-contiguous and < window atoms;
-        # check rather than silently zero out-of-halo messages
-        span = int(np.abs(np.asarray(g.src)[real].astype(np.int64)
-                          - dst[real].astype(np.int64)).max())
-        if span >= window:
-            raise GraphCapacityError(
-                f"edge src/dst span {span} >= onehot window {window} — "
-                f"a molecule exceeds the window locality contract"
-            )
+        if aligned:
+            # window_aligned contract: src and dst share a window (packer
+            # ran with node_align=window) — the onehot path then needs no
+            # halo at all
+            if np.any(np.asarray(g.src)[real] // window != w_of):
+                raise GraphCapacityError(
+                    "edge crosses a window boundary — batch was not packed "
+                    "with node_align=window (edge_layout='window_aligned')"
+                )
+        else:
+            # onehot's 3-window halo only sees src within ±window of dst —
+            # guaranteed when molecules are node-contiguous and < window
+            # atoms; check rather than silently zero out-of-halo messages
+            span = int(np.abs(np.asarray(g.src)[real].astype(np.int64)
+                              - dst[real].astype(np.int64)).max())
+            if span >= window:
+                raise GraphCapacityError(
+                    f"edge src/dst span {span} >= onehot window {window} — "
+                    f"a molecule exceeds the window locality contract"
+                )
     if counts.max(initial=0) > tile:
         raise GraphCapacityError(
             f"window tile capacity {tile} exceeded (max {int(counts.max())} "
@@ -344,17 +373,18 @@ def window_tile_edges(
         node_mask=g.node_mask,
         edge_mask=edge_mask,
         n_graphs=g.n_graphs,
-        edge_layout="window",
+        edge_layout="window_aligned" if aligned else "window",
     )
 
 
 def window_tile_batch(
-    batch: "IonPairBatch", tile: int, window: int = ONEHOT_WINDOW
+    batch: "IonPairBatch", tile: int, window: int = ONEHOT_WINDOW,
+    aligned: bool = False,
 ) -> "IonPairBatch":
     """Apply :func:`window_tile_edges` to both ions of a batch."""
     return IonPairBatch(
-        cation=window_tile_edges(batch.cation, tile, window),
-        anion=window_tile_edges(batch.anion, tile, window),
+        cation=window_tile_edges(batch.cation, tile, window, aligned),
+        anion=window_tile_edges(batch.anion, tile, window, aligned),
         temperature=batch.temperature,
         y=batch.y,
         sample_mask=batch.sample_mask,

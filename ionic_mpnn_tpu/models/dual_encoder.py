@@ -90,6 +90,9 @@ class IonEncoder(nn.Module):
                 impl=cfg.message_impl,
                 scatter=cfg.scatter_impl,
                 window=cfg.onehot_window,
+                # static aux data on the batch: aligned window layout needs
+                # no 3-window src halo
+                halo=graphs.edge_layout != "window_aligned",
                 ep_axis=cfg.ep_axis,
                 name=f"bmm_{step}",
             )(h, bond_table, graphs.bond_ids, graphs.src, graphs.dst, edge_mask)

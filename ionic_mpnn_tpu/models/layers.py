@@ -64,6 +64,9 @@ class BondMatrixMessage(nn.Module):
     impl: str = "gather"
     scatter: str = "xla"  # "xla" | "pallas" (sorted-scatter kernel)
     window: int = 128  # node window for impl="onehot" (window-tiled edges)
+    # impl="onehot": False when the batch is window_ALIGNED (no molecule
+    # straddles a window → src context is the window itself, 3x smaller)
+    halo: bool = True
     # Inside shard_map with edge arrays sharded over this axis, per-shard
     # aggregates are merged with one psum (edge-partitioned execution).
     ep_axis: str | None = None
@@ -110,7 +113,8 @@ class BondMatrixMessage(nn.Module):
                 "onehot does not compose with edge partitioning yet"
             )
             agg = message_pass_aggregate_onehot(
-                h, bond_ids, src, dst, m_table, edge_mask, window=self.window
+                h, bond_ids, src, dst, m_table, edge_mask,
+                window=self.window, halo=self.halo,
             )
         elif self.impl == "typed":
             agg = message_pass_aggregate_typed(h, bond_ids, src, dst, m_table, edge_mask)

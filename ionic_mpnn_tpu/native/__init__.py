@@ -65,13 +65,14 @@ def get_packer_lib() -> Optional[ctypes.CDLL]:
         lib.pack_graphs.argtypes = [
             i32p, i64p, i32p, i32p, i64p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p, i32p, u8p, u8p,
         ]
         lib.plan_batches.restype = ctypes.c_int
         lib.plan_batches.argtypes = [
             i32p, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
             i32p,
         ]
         _lib = lib
@@ -92,11 +93,13 @@ def pack_graphs_native(
     edge_cap: int,
     duplicate_edges: bool = False,
     sort_by_dst: bool = True,
+    node_align: int = 0,
 ):
     """C++ packing of columnar molecule arrays into one batch's buffers.
 
     Returns the 8 packed arrays (atom_ids, bond_ids, src, dst, node_graph,
     node_local, node_mask, edge_mask); raises on capacity overflow.
+    ``node_align`` mirrors :func:`data.packing.pack_graphs`.
     """
     lib = get_packer_lib()
     if lib is None:
@@ -117,7 +120,7 @@ def pack_graphs_native(
         np.ascontiguousarray(edges_flat, np.int32).reshape(-1),
         np.ascontiguousarray(edge_off, np.int64),
         num_graphs, node_cap, edge_cap,
-        int(duplicate_edges), int(sort_by_dst),
+        int(duplicate_edges), int(sort_by_dst), int(node_align),
         atom_ids, bond_ids, src, dst, node_graph, node_local, node_mask, edge_mask,
     )
     if rc == -1:
@@ -134,6 +137,7 @@ def plan_batches_native(
     n_nodes_a: np.ndarray, n_edges_a: np.ndarray,
     n_nodes_b: np.ndarray, n_edges_b: np.ndarray,
     batch_size: int, node_cap: int, edge_cap: int,
+    node_align: int = 0,
 ) -> np.ndarray:
     """Greedy batch boundaries; returns starts array of len n_batches+1."""
     lib = get_packer_lib()
@@ -146,7 +150,7 @@ def plan_batches_native(
         np.ascontiguousarray(n_edges_a, np.int32),
         np.ascontiguousarray(n_nodes_b, np.int32),
         np.ascontiguousarray(n_edges_b, np.int32),
-        num_graphs, batch_size, node_cap, edge_cap, starts,
+        num_graphs, batch_size, node_cap, edge_cap, int(node_align), starts,
     )
     if rc < 0:
         raise ValueError(f"a single graph exceeds capacities (err {rc})")

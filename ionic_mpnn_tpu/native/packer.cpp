@@ -34,12 +34,15 @@ enum PackError {
 //   bond_ids_flat[edge_off[g] : edge_off[g+1]]  -- raw vocab ids
 //   edges_flat[2*edge_off[g] : 2*edge_off[g+1]] -- (src, dst) local pairs
 // Outputs are zero-filled to capacity by this function.
+// node_align > 1 forbids molecules from straddling node_align-row window
+// boundaries (offsets bump to the next boundary) — the
+// edge_layout="window_aligned" contract (mirror of packing.py).
 int pack_graphs(
     const int32_t* atom_ids_flat, const int64_t* atom_off,
     const int32_t* bond_ids_flat, const int32_t* edges_flat,
     const int64_t* edge_off, int32_t num_graphs,
     int32_t node_cap, int32_t edge_cap, int32_t duplicate_edges,
-    int32_t sort_by_dst,
+    int32_t sort_by_dst, int32_t node_align,
     int32_t* atom_ids_out, int32_t* bond_ids_out,
     int32_t* src_out, int32_t* dst_out,
     int32_t* node_graph_out, int32_t* node_local_out,
@@ -65,6 +68,12 @@ int pack_graphs(
   for (int32_t g = 0; g < num_graphs; ++g) {
     const int64_t a0 = atom_off[g], a1 = atom_off[g + 1];
     const int64_t n = a1 - a0;
+    if (node_align > 1 && n > 0) {
+      if (n > node_align) return PACK_NODE_OVERFLOW;
+      if (node_offset % node_align + n > node_align) {
+        node_offset = (node_offset / node_align + 1) * node_align;
+      }
+    }
     if (node_offset + n > node_cap) return PACK_NODE_OVERFLOW;
     for (int64_t i = 0; i < n; ++i) {
       atom_ids_out[node_offset + i] = atom_ids_flat[a0 + i] + 1;
@@ -136,20 +145,30 @@ int plan_batches(
     const int32_t* n_nodes_a, const int32_t* n_edges_a,
     const int32_t* n_nodes_b, const int32_t* n_edges_b,
     int32_t num_graphs, int32_t batch_size,
-    int32_t node_cap, int32_t edge_cap,
+    int32_t node_cap, int32_t edge_cap, int32_t node_align,
     int32_t* starts_out) {
   int32_t n_batches = 0;
   int32_t count = 0;
   int64_t na = 0, nb = 0, ea = 0, eb = 0;
+  // node rows used after placing an n-atom molecule (pack_graphs mirror)
+  auto place = [node_align](int64_t used, int64_t n) -> int64_t {
+    if (node_align > 1 && n > 0 && used % node_align + n > node_align) {
+      used = (used / node_align + 1) * node_align;
+    }
+    return used + n;
+  };
   starts_out[0] = 0;
   for (int32_t g = 0; g < num_graphs; ++g) {
     if (n_nodes_a[g] > node_cap || n_nodes_b[g] > node_cap)
       return PACK_NODE_OVERFLOW;
+    if (node_align > 1 &&
+        (n_nodes_a[g] > node_align || n_nodes_b[g] > node_align))
+      return PACK_NODE_OVERFLOW;
     if (n_edges_a[g] > edge_cap || n_edges_b[g] > edge_cap)
       return PACK_EDGE_OVERFLOW;
     const bool overflow = count >= batch_size ||
-                          na + n_nodes_a[g] > node_cap ||
-                          nb + n_nodes_b[g] > node_cap ||
+                          place(na, n_nodes_a[g]) > node_cap ||
+                          place(nb, n_nodes_b[g]) > node_cap ||
                           ea + n_edges_a[g] > edge_cap ||
                           eb + n_edges_b[g] > edge_cap;
     if (overflow && count > 0) {
@@ -159,8 +178,8 @@ int plan_batches(
       na = nb = ea = eb = 0;
     }
     ++count;
-    na += n_nodes_a[g];
-    nb += n_nodes_b[g];
+    na = place(na, n_nodes_a[g]);
+    nb = place(nb, n_nodes_b[g]);
     ea += n_edges_a[g];
     eb += n_edges_b[g];
   }

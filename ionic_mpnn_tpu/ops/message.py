@@ -230,6 +230,7 @@ def message_pass_aggregate_onehot(
     m_table: jnp.ndarray,  # (V, D, D)
     edge_mask: jnp.ndarray,  # (nw·T,) bool
     window: int = 128,
+    halo: bool = True,
 ) -> jnp.ndarray:
     """All-MXU message + aggregate: zero gathers, zero scatters.
 
@@ -258,6 +259,11 @@ def message_pass_aggregate_onehot(
     RESULTS.md round 2); the redundant one-hot FLOPs (3W per edge) are
     cheap by comparison.
 
+    With ``halo=False`` (``edge_layout="window_aligned"``: the packer
+    placed molecules so none straddles a window boundary) the src context
+    is the window itself — the dominant one-hot operand shrinks 3× and no
+    pad/concat of node states is needed.
+
     Reference math covered: ``models/layers.py:106-112`` (message) +
     ``:74,142`` (masked destination sum).
     """
@@ -274,16 +280,23 @@ def message_pass_aggregate_onehot(
     T = E // nw
     dtype = node_states.dtype
 
-    # 3-window halo context (nw, 3W, D) — pure reshape/pad, no gather
-    hp = jnp.pad(node_states.reshape(nw, window, D), ((1, 1), (0, 0), (0, 0)))
-    ctx = jnp.concatenate([hp[:-2], hp[1:-1], hp[2:]], axis=1)
-
     w_of = jnp.arange(E, dtype=jnp.int32) // T
-    src_local = (src - (w_of - 1) * window).reshape(nw, T)
     maskf = edge_mask.reshape(nw, T)
 
-    # (nw, T, 3W) one-hot src (out-of-range/masked rows are all-zero)
-    o_src = (src_local[:, :, None] == jnp.arange(3 * window, dtype=jnp.int32)) & maskf[:, :, None]
+    if halo:
+        # 3-window halo context (nw, 3W, D) — pure reshape/pad, no gather
+        hp = jnp.pad(node_states.reshape(nw, window, D),
+                     ((1, 1), (0, 0), (0, 0)))
+        ctx = jnp.concatenate([hp[:-2], hp[1:-1], hp[2:]], axis=1)
+        src_local = (src - (w_of - 1) * window).reshape(nw, T)
+        ctx_width = 3 * window
+    else:
+        ctx = node_states.reshape(nw, window, D)
+        src_local = (src - w_of * window).reshape(nw, T)
+        ctx_width = window
+
+    # (nw, T, ctx_width) one-hot src (out-of-range/masked rows are all-zero)
+    o_src = (src_local[:, :, None] == jnp.arange(ctx_width, dtype=jnp.int32)) & maskf[:, :, None]
     hs = jnp.einsum(
         "wts,wsd->wtd", o_src.astype(dtype), ctx,
         preferred_element_type=jnp.float32,

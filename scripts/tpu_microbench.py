@@ -145,6 +145,7 @@ def main():
             impl = "pallas_fused"
         if impl == "megakernel":
             impl = "pallas_step"
+        layout = ""
         for opt in parts[1:]:
             if opt == "fusedgru":
                 gru = "fused"
@@ -152,12 +153,14 @@ def main():
                 dtype = "bfloat16"
             elif opt == "pallas":
                 scatter = "pallas"
+            elif opt == "aligned":
+                layout = "window_aligned"
             else:
                 raise SystemExit(f"unknown step option {opt}")
         r = bench_packed_train_step(records, vocab, batch_size=bs, iters=30,
                                     warmup=5, inner=8, message_impl=impl,
                                     gru_impl=gru, scatter_impl=scatter,
-                                    compute_dtype=dtype)
+                                    compute_dtype=dtype, edge_layout=layout)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,
@@ -189,12 +192,16 @@ def main():
         )
 
         impl = which.split("-", 1)[1]
+        halo = True
+        if impl == "onehotaligned":
+            impl, halo = "onehot", False
         if impl == "onehot":
             # re-pack on the window-tiled layout the op requires
             from ionic_mpnn_tpu.data.loader import plan_capacities as _pc
             from ionic_mpnn_tpu.data import iter_batches as _ib
 
-            plan_w = _pc(records, batch_size=bs, edge_layout="window")
+            plan_w = _pc(records, batch_size=bs,
+                         edge_layout="window" if halo else "window_aligned")
             g = next(_ib(records[:bs], plan_w)).cation
             h = jnp.array(rng.normal(size=(plan_w.node_cap, D)).astype(np.float32))
             cot = jnp.array(rng.normal(size=h.shape).astype(np.float32))
@@ -210,7 +217,7 @@ def main():
                 from ionic_mpnn_tpu.ops.message import message_pass_aggregate_onehot
 
                 out = message_pass_aggregate_onehot(
-                    h_, bond_, src_, dst_, m_table, mask_)
+                    h_, bond_, src_, dst_, m_table, mask_, halo=halo)
             elif impl == "typed":
                 out = message_pass_aggregate_typed(h_, bond_, src_, dst_, m_table, mask_)
             elif impl == "symmetric":

@@ -188,3 +188,134 @@ def test_resolve_message_impl_auto():
         assert resolve_message_impl(impl) == impl
     assert edge_layout_for("onehot") == "window"
     assert edge_layout_for("gather") == "sorted"
+
+
+# ---------------------------------------------------------------------------
+# window_ALIGNED layout (no molecule straddles a window; onehot runs halo-free)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def plan_a(data):
+    records, _ = data
+    return plan_capacities(records, batch_size=BS, edge_layout="window_aligned")
+
+
+def test_aligned_plan_and_loader_invariants(data, plan_a):
+    records, _ = data
+    assert plan_a.edge_layout == "window_aligned"
+    assert plan_a.node_align == plan_a.window
+    assert plan_a.node_cap % plan_a.window == 0
+    assert plan_a.edge_tile > 0
+    seen = 0
+    for batch in iter_batches(records, plan_a, shuffle=True, seed=11):
+        seen += int(np.asarray(batch.sample_mask).sum())
+        for g in (batch.cation, batch.anion):
+            assert g.edge_layout == "window_aligned"
+            m = np.asarray(g.edge_mask)
+            # no real edge crosses a window boundary
+            assert np.array_equal(
+                np.asarray(g.src)[m] // plan_a.window,
+                np.asarray(g.dst)[m] // plan_a.window,
+            )
+            # no molecule straddles: every real node's window == its
+            # molecule-start window
+            nm = np.asarray(g.node_mask)
+            starts = np.flatnonzero(nm) - np.asarray(g.node_local)[nm]
+            assert np.array_equal(
+                np.flatnonzero(nm) // plan_a.window, starts // plan_a.window
+            )
+    assert seen == len(records)  # early-close never drops records
+
+
+def test_aligned_pack_rejects_oversized_molecule():
+    from ionic_mpnn_tpu.data.packing import pack_graphs
+
+    g = {"atom_ids": [0] * 40, "bond_ids": [], "edge_indices": [],
+         "num_atoms": 40}
+    with pytest.raises(GraphCapacityError, match="aligned window"):
+        pack_graphs([g], node_cap=256, edge_cap=64, node_align=32)
+
+
+def test_onehot_halo_free_matches_gather(data, plan_a):
+    records, vocab = data
+    batch = next(iter_batches(records, plan_a))
+    g = batch.anion
+    rng = np.random.default_rng(1)
+    h = jnp.asarray(rng.normal(size=(g.node_capacity, 32)).astype(np.float32))
+    m_table = _tables(vocab)
+    ref = message_pass_aggregate(
+        h, jnp.asarray(g.bond_ids), jnp.asarray(g.src), jnp.asarray(g.dst),
+        m_table, jnp.asarray(g.edge_mask),
+    )
+    out = message_pass_aggregate_onehot(
+        h, jnp.asarray(g.bond_ids), jnp.asarray(g.src), jnp.asarray(g.dst),
+        m_table, jnp.asarray(g.edge_mask), window=plan_a.window, halo=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # gradients through the halo-free path
+    cot = jnp.asarray(rng.normal(size=h.shape).astype(np.float32))
+    args = (jnp.asarray(g.bond_ids), jnp.asarray(g.src), jnp.asarray(g.dst))
+    mask = jnp.asarray(g.edge_mask)
+    gh_ref, gm_ref = jax.grad(
+        lambda h_, m_: jnp.sum(message_pass_aggregate(h_, *args, m_, mask) * cot),
+        argnums=(0, 1))(h, m_table)
+    gh, gm = jax.grad(
+        lambda h_, m_: jnp.sum(message_pass_aggregate_onehot(
+            h_, *args, m_, mask, window=plan_a.window, halo=False) * cot),
+        argnums=(0, 1))(h, m_table)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("parity_mode", [False, True])
+def test_model_level_parity_aligned(data, plan_a, parity_mode):
+    """ViscosityModel: onehot on the ALIGNED batch == gather on sorted.
+
+    Node layouts differ (alignment gaps), but predictions are per-graph —
+    pooling is mask-safe — so outputs must agree.
+    """
+    records, vocab = data
+    plan_s = plan_capacities(records, batch_size=BS,
+                             duplicate_edges=parity_mode)
+    plan_ap = plan_capacities(records, batch_size=BS,
+                              edge_layout="window_aligned",
+                              duplicate_edges=parity_mode)
+    batch_s = next(iter_batches(records, plan_s))
+    batch_a = next(iter_batches(records, plan_ap))
+    # like-for-like only if the first batch holds every record on both plans
+    assert int(np.asarray(batch_s.sample_mask).sum()) == \
+           int(np.asarray(batch_a.sample_mask).sum()) == len(records)
+
+    cfg_g = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                             parity_mode=parity_mode)
+    cfg_o = cfg_g.replace(message_impl="onehot")
+    model_g, model_o = ViscosityModel(cfg_g), ViscosityModel(cfg_o)
+    variables = model_g.init(jax.random.PRNGKey(0), batch_s)
+    pred_g = model_g.apply(variables, batch_s, deterministic=True)["pred"]
+    pred_o = model_o.apply(variables, batch_a, deterministic=True)["pred"]
+    np.testing.assert_allclose(np.asarray(pred_o), np.asarray(pred_g),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_native_packer_aligned_matches_python(data, plan_a):
+    from ionic_mpnn_tpu import native
+    from ionic_mpnn_tpu.data.columnar import ColumnarIonPairs, iter_batches_fast
+
+    if not native.native_available():
+        pytest.skip("native packer not built")
+    records, _ = data
+    cols = ColumnarIonPairs.from_records(records)
+    fast = list(iter_batches_fast(cols, plan_a))
+    slow = list(iter_batches(records, plan_a))
+    assert len(fast) == len(slow)
+    for bf, bs in zip(fast, slow):
+        for gf, gs in zip((bf.cation, bf.anion), (bs.cation, bs.anion)):
+            np.testing.assert_array_equal(gf.atom_ids, gs.atom_ids)
+            np.testing.assert_array_equal(gf.node_graph, gs.node_graph)
+            np.testing.assert_array_equal(gf.edge_mask, gs.edge_mask)
+            np.testing.assert_array_equal(gf.src, gs.src)
+            np.testing.assert_array_equal(gf.dst, gs.dst)
+            np.testing.assert_array_equal(gf.bond_ids, gs.bond_ids)
+            assert gf.edge_layout == gs.edge_layout == "window_aligned"
