@@ -318,6 +318,15 @@ def fit(
         with_temperature=plan.with_temperature,
         duplicate_edges=plan.duplicate_edges,
     )
+    if plan.edge_layout in ("window", "window_aligned"):
+        # group-padding batches must share the real batches' (static) edge
+        # layout or tree stacking rejects the mix
+        from ..data.packing import window_tile_batch
+
+        empty_batch = window_tile_batch(
+            empty_batch, plan.edge_tile, plan.window,
+            aligned=plan.edge_layout == "window_aligned",
+        )
     group_size = n_dev * K
 
     if n_dev > 1:

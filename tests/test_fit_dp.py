@@ -106,3 +106,28 @@ def test_fit_dp_with_scan(encoded_viscosity):
     result = fit(model, cfg, tcfg, train, dev, plan, verbose=False, mesh=mesh)
     assert len(result.history["loss"]) == 4
     assert result.history["loss"][-1] < result.history["loss"][0]
+
+
+@pytest.mark.multidevice
+def test_fit_dp_onehot_window_aligned(encoded_viscosity):
+    """DP fit composes with the onehot impl on window-aligned batches
+    (the accelerator production combination, on the virtual mesh)."""
+    import jax
+
+    records = encoded_viscosity["viscosity"][:96]
+    vocab = encoded_viscosity["vocab"]
+    train, dev = records[:64], records[64:]
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                           num_steps=1, message_impl="onehot")
+    tcfg = TrainConfig(epochs=3, batch_size=8, early_stopping_patience=10,
+                       seed=0)
+    plan = plan_capacities(records, batch_size=8,
+                           edge_layout="window_aligned")
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=1),
+                     devices=jax.devices()[:4])
+    result = fit(ViscosityModel(cfg), cfg, tcfg, train, dev, plan,
+                 verbose=False, mesh=mesh)
+    assert len(result.history["loss"]) == 3
+    import numpy as np
+
+    assert np.isfinite(result.history["loss"][-1])
