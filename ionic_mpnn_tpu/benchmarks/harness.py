@@ -111,7 +111,9 @@ def bench_packed_train_step(
         )
     tcfg = TrainConfig()
     if not edge_layout:
-        edge_layout = "window" if message_impl == "onehot" else "sorted"
+        from ..config import edge_layout_for
+
+        edge_layout = edge_layout_for(message_impl)
     plan = plan_capacities(records, batch_size=batch_size,
                            edge_layout=edge_layout)
     batch = next(iter_batches(records[:batch_size], plan))

@@ -43,10 +43,17 @@ def resolve_message_impl(impl: str = "auto") -> str:
 
 
 def edge_layout_for(message_impl: str) -> str:
-    """Batch edge layout a message impl needs: ``"window"`` tiling for the
-    one-hot path (see ``ops/message.py::message_pass_aggregate_onehot``),
-    dst-``"sorted"`` COO for everything else (every impl accepts window)."""
-    return "window" if message_impl == "onehot" else "sorted"
+    """Batch edge layout a message impl needs.
+
+    ``"window_aligned"`` for the one-hot path: window-tiled edges AND
+    molecules packed so none straddles a window — the op then runs
+    halo-free with ~86% tile fill (battery 11: 13.4 ms/step vs 22.7 for
+    the halo ``"window"`` layout at batch 2048). dst-``"sorted"`` COO for
+    everything else; every impl accepts the window layouts.
+    (ScreeningEngine grid sweeps normalize to ``"window"`` — the device
+    grid packer emits the halo layout.)
+    """
+    return "window_aligned" if message_impl == "onehot" else "sorted"
 
 
 @dataclass(frozen=True)

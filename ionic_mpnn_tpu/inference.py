@@ -147,6 +147,14 @@ class ScreeningEngine:
     ):
         self.model = model
         self.vocab = vocab
+        if plan.edge_layout == "window_aligned":
+            # screening normalizes to the halo "window" layout: the device
+            # grid packer computes node offsets with a closed-form cumsum,
+            # which cannot express alignment gaps (sequential), and the
+            # onehot op reads the layout from the batch tag either way
+            import dataclasses
+
+            plan = dataclasses.replace(plan, edge_layout="window")
         self.plan = plan
         self.normalizer = normalizer
         self.mesh = mesh

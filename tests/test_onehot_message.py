@@ -186,7 +186,7 @@ def test_resolve_message_impl_auto():
     assert resolve_message_impl("auto") == "gather"  # tests run on CPU
     for impl in ("gather", "typed", "symmetric", "onehot"):
         assert resolve_message_impl(impl) == impl
-    assert edge_layout_for("onehot") == "window"
+    assert edge_layout_for("onehot") == "window_aligned"
     assert edge_layout_for("gather") == "sorted"
 
 
