@@ -582,6 +582,137 @@ class ScreeningEngine:
             device_s=device_s,
         )
 
+    # ------------------------------------------------------------------
+    # Factorized grid sweeps: encode each unique ion ONCE
+    # ------------------------------------------------------------------
+
+    def _project_pool(self, pool: IonPool, side: str,
+                      ions_per_batch: int = 512) -> np.ndarray:
+        """Per-ion mixing projections (len(pool), mixing_size), computed by
+        running ONE side's encoder over the unique-ion pool in fixed-shape
+        packed batches (gather impl — a few thousand molecules total)."""
+        import dataclasses as _dc
+
+        from .data.packing import pack_graphs, round_up
+        from .models.dual_encoder import DualEncoderTrunk
+
+        cfg = _dc.replace(self.model.cfg, message_impl="gather")
+        trunk = DualEncoderTrunk(cfg)
+        tvars = {"params": self._variables["params"]["trunk"]}
+        fwd = jax.jit(
+            lambda v, g: trunk.apply(v, g, side, True,
+                                     method=DualEncoderTrunk.project_side)
+        )
+        M = len(pool)
+        Bp = min(ions_per_batch, M)
+        dup = self.plan.duplicate_edges
+        mult = 2 if dup else 1
+        node_cap = round_up(max(int(pool.a_len.max(initial=1)) * Bp, 8), 8)
+        edge_cap = round_up(max(int(pool.e_len.max(initial=1)) * Bp * mult, 8), 8)
+        out = np.zeros((M, self.model.cfg.mixing_size), np.float32)
+        for i0 in range(0, M, Bp):
+            idx = np.arange(i0, min(i0 + Bp, M))
+            graphs = [
+                {
+                    "atom_ids": pool.atoms[pool.a_start[i]:pool.a_start[i] + pool.a_len[i]],
+                    "bond_ids": pool.bonds[pool.e_start[i]:pool.e_start[i] + pool.e_len[i]],
+                    "edge_indices": pool.edges[pool.e_start[i]:pool.e_start[i] + pool.e_len[i]],
+                    "num_atoms": int(pool.a_len[i]),
+                }
+                for i in idx
+            ]
+            graphs += [
+                {"atom_ids": [], "bond_ids": [], "edge_indices": [], "num_atoms": 0}
+            ] * (Bp - len(idx))
+            packed = pack_graphs(graphs, node_cap, edge_cap, Bp,
+                                 duplicate_edges=dup)
+            out[idx] = np.asarray(fwd(tvars, packed))[: len(idx)]
+        return out
+
+    def screen_grid_factorized(
+        self,
+        cations: Sequence[str],
+        anions: Sequence[str],
+        temperatures,
+        top_k: int = 100,
+        minimize: bool = True,
+        progress_every: int = 0,  # accepted for API parity; sweep is 1 dispatch
+    ) -> "SweepReport":
+        """Exact-math factorized sweep for VFT-head models.
+
+        The trunk's ``mixed`` representation is an elementwise SUM of
+        per-ion projections and the VFT head is ``Dense(3)`` (linear) over
+        it followed by a closed form in T, so the full cation×anion×T grid
+        factorizes: encode C + A unique ions once, precompute per-ion
+        3-vectors ``u = proj @ W`` (bias folded into the anion side), then
+        every candidate is ``(a, b, c) = clip/softplus(u_c + u_a)`` and
+        ``log10(eta) = a + b/(T/100 + c + eps)`` — a (C, A, T) elementwise
+        evaluation + one on-device top-k instead of 20M molecule encodings
+        (~1000× less encoder work for the 10M BASELINE config-5 grid).
+        Predictions are bit-comparable to :meth:`screen_grid` (same ops,
+        same dtype; only the batching differs).
+        """
+        import time as _time
+
+        cfg = self.model.cfg
+        if cfg.head != "vft":
+            raise ValueError(
+                f"factorized sweep requires the VFT head, got {cfg.head!r}"
+            )
+        t0 = _time.perf_counter()
+        cat_pool = IonPool(cations, self.vocab)
+        an_pool = IonPool(anions, self.vocab)
+        temps = np.atleast_1d(np.asarray(temperatures, np.float32))
+        C, A, T = len(cat_pool), len(an_pool), len(temps)
+        total = C * A * T
+        k = int(min(top_k, total))
+
+        proj_c = self._project_pool(cat_pool, "cation")
+        proj_a = self._project_pool(an_pool, "anion")
+        head = self._variables["params"]["vft_head"]["visc_params"]
+        kernel = np.asarray(head["kernel"], np.float32)  # (m, 3)
+        bias = np.asarray(head["bias"], np.float32)  # (3,)
+        u_c = proj_c @ kernel  # (C, 3)
+        u_a = proj_a @ kernel + bias  # (A, 3)
+
+        def pair_eval(u_c, u_a, temps):
+            raw = u_c[:, None, :] + u_a[None, :, :]  # (C, A, 3)
+            a = raw[..., 0]
+            b = jnp.clip(jax.nn.softplus(raw[..., 1]), *cfg.vft_b_clip)
+            c = jnp.clip(jax.nn.softplus(raw[..., 2]), *cfg.vft_c_clip)
+            t = temps / cfg.t_scale  # (T,)
+            pred = a[..., None] + b[..., None] / (t + c[..., None] + cfg.vft_eps)
+            score = -pred.reshape(-1) if minimize else pred.reshape(-1)
+            vals, idx = jax.lax.top_k(score, k)
+            return vals, idx
+
+        vals, idx = jax.jit(pair_eval)(
+            jnp.asarray(u_c), jnp.asarray(u_a), jnp.asarray(temps)
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        dt = _time.perf_counter() - t0
+
+        results = []
+        for v, gid in zip(vals, idx):
+            pred = -float(v) if minimize else float(v)
+            if self.normalizer is not None:
+                pred = float(self.normalizer.inverse(np.float32(pred)))
+            ci_, rest = divmod(int(gid), A * T)
+            ai_, ti_ = divmod(rest, T)
+            results.append(ScreenResult(
+                cation=cat_pool.smiles[ci_], anion=an_pool.smiles[ai_],
+                temperature=float(temps[ti_]), prediction=pred,
+            ))
+        return SweepReport(
+            results=results,
+            n_screened=total,
+            pairs_per_s=total / dt,
+            wall_s=dt,
+            skipped=cat_pool.skipped + an_pool.skipped,
+            producer_wait_s=0.0,
+            device_s=dt,
+        )
+
     def _screen_grid_device(
         self,
         cat_pool: IonPool,

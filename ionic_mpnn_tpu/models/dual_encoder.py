@@ -112,35 +112,53 @@ class DualEncoderTrunk(nn.Module):
     The trunk is identical across the viscosity, melting-point, and
     transfer models (up to dims), so transfer learning is a straight
     parameter-subtree copy.
+
+    setup()-style (param tree identical to the earlier compact version —
+    attribute names double as submodule names) so :meth:`project_side`
+    can expose the per-ion half of the computation: ``mixed`` is an
+    elementwise SUM of the two per-ion projections, which lets grid
+    screening encode each unique ion ONCE instead of once per candidate
+    pair (see ``inference.ScreeningEngine.screen_grid_factorized``).
     """
 
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.atom_table = self.param(
+            "atom_embed", keras_embed_init, (cfg.atom_vocab_size + 1, cfg.atom_dim)
+        )
+        self.bond_table = self.param(
+            "bond_embed", keras_embed_init, (cfg.bond_vocab_size + 1, cfg.bond_dim)
+        )
+        self.cat_encoder = IonEncoder(cfg)
+        self.an_encoder = IonEncoder(cfg)
+        self.cat_proj = nn.Dense(cfg.mixing_size, kernel_init=glorot())
+        self.an_proj = nn.Dense(cfg.mixing_size, kernel_init=glorot())
+
+    def project_side(
+        self, graphs: PackedGraphs, side: str, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Per-ion relu'd mixing projection (B, mixing_size) for one side
+        ("cation" | "anion"); ``mixed == project_side(cat) + project_side(an)``."""
+        enc = self.cat_encoder if side == "cation" else self.an_encoder
+        proj = self.cat_proj if side == "cation" else self.an_proj
+        fp = enc(graphs, self.atom_table, self.bond_table, deterministic)
+        return nn.relu(proj(fp))
+
     def __call__(
         self,
         cation: PackedGraphs,
         anion: PackedGraphs,
         deterministic: bool = True,
     ) -> Dict[str, jnp.ndarray]:
-        cfg = self.cfg
-        atom_table = self.param(
-            "atom_embed", keras_embed_init, (cfg.atom_vocab_size + 1, cfg.atom_dim)
+        fp_cat = self.cat_encoder(
+            cation, self.atom_table, self.bond_table, deterministic
         )
-        bond_table = self.param(
-            "bond_embed", keras_embed_init, (cfg.bond_vocab_size + 1, cfg.bond_dim)
+        fp_an = self.an_encoder(
+            anion, self.atom_table, self.bond_table, deterministic
         )
-        fp_cat = IonEncoder(cfg, name="cat_encoder")(
-            cation, atom_table, bond_table, deterministic
-        )
-        fp_an = IonEncoder(cfg, name="an_encoder")(
-            anion, atom_table, bond_table, deterministic
-        )
-        cat_proj = nn.relu(
-            nn.Dense(cfg.mixing_size, kernel_init=glorot(), name="cat_proj")(fp_cat)
-        )
-        an_proj = nn.relu(
-            nn.Dense(cfg.mixing_size, kernel_init=glorot(), name="an_proj")(fp_an)
-        )
+        cat_proj = nn.relu(self.cat_proj(fp_cat))
+        an_proj = nn.relu(self.an_proj(fp_an))
         mixed = cat_proj + an_proj  # AddTwoTensors / "mix_cat_an"
         return {"mixed": mixed, "fp_cat": fp_cat, "fp_an": fp_an}

@@ -39,6 +39,11 @@ def main() -> int:
                          "default device-resident grid packing")
     ap.add_argument("--steps-per-call", type=int, default=8,
                     help="batches folded into one dispatch (device path)")
+    ap.add_argument("--brute-force", action="store_true",
+                    help="grid sweeps: evaluate every candidate pair through "
+                    "the full model instead of the exact-math factorized "
+                    "path (encode each unique ion once; VFT head closed "
+                    "form over the T grid)")
     ap.add_argument("--message-impl", default="auto",
                     choices=["auto", "gather", "typed", "symmetric", "onehot"],
                     help="execution strategy (param-tree-identical, so it can "
@@ -125,12 +130,18 @@ def main() -> int:
         elif not temps:
             temps = [args.temperature]
         t0 = time.time()
-        report = engine.screen_grid(
-            grid_cations, grid_anions, temps, top_k=args.top_k,
-            minimize=True, progress_every=args.progress_every,
-            device_pack=not args.host_pack,
-            steps_per_call=args.steps_per_call,
-        )
+        if args.brute_force or cfg.head != "vft":
+            report = engine.screen_grid(
+                grid_cations, grid_anions, temps, top_k=args.top_k,
+                minimize=True, progress_every=args.progress_every,
+                device_pack=not args.host_pack,
+                steps_per_call=args.steps_per_call,
+            )
+        else:
+            report = engine.screen_grid_factorized(
+                grid_cations, grid_anions, temps, top_k=args.top_k,
+                minimize=True,
+            )
         results, dt = report.results, time.time() - t0
         print(f"grid sweep: {report.n_screened:,} pairs at "
               f"{report.pairs_per_s:,.0f} pairs/s "

@@ -240,3 +240,33 @@ def test_screen_grid_onehot_matches_gather(encoded_viscosity):
         eng_oh.predict_batch(cands), base.predict_batch(cands),
         rtol=2e-5, atol=1e-6,
     )
+
+
+def test_screen_grid_factorized_matches_bruteforce(encoded_viscosity):
+    """Factorized sweep (per-ion encode + VFT closed form) == full model."""
+    engine = _engine(encoded_viscosity)
+    cations, anions, temps = IONS[:3], IONS[3:], [290.0, 320.0, 360.0]
+    brute = engine.screen_grid(cations, anions, temps, top_k=9,
+                               device_pack=True, steps_per_call=2)
+    fact = engine.screen_grid_factorized(cations, anions, temps, top_k=9)
+    assert fact.n_screened == brute.n_screened == 27
+    assert [(r.cation, r.anion, r.temperature) for r in fact.results] == \
+           [(r.cation, r.anion, r.temperature) for r in brute.results]
+    np.testing.assert_allclose(
+        [r.prediction for r in fact.results],
+        [r.prediction for r in brute.results], rtol=2e-5, atol=1e-6,
+    )
+
+
+def test_screen_grid_factorized_rejects_non_vft(encoded_viscosity):
+    engine = _engine(encoded_viscosity)
+    import dataclasses
+
+    from ionic_mpnn_tpu.inference import ScreeningEngine
+    from ionic_mpnn_tpu.models import MeltingPointModel
+
+    cfg_mp = dataclasses.replace(engine.model.cfg, head="mlp")
+    eng = ScreeningEngine(MeltingPointModel(cfg_mp), engine._variables["params"],
+                          engine.vocab, engine.plan)
+    with pytest.raises(ValueError, match="VFT"):
+        eng.screen_grid_factorized(IONS[:2], IONS[3:4], [300.0])
