@@ -637,6 +637,7 @@ class ScreeningEngine:
         top_k: int = 100,
         minimize: bool = True,
         progress_every: int = 0,  # accepted for API parity; sweep is 1 dispatch
+        block_elems: int = 64_000_000,  # max (CB, A, T) score elements per dispatch
     ) -> "SweepReport":
         """Exact-math factorized sweep for VFT-head models.
 
@@ -675,25 +676,44 @@ class ScreeningEngine:
         u_c = proj_c @ kernel  # (C, 3)
         u_a = proj_a @ kernel + bias  # (A, 3)
 
-        def pair_eval(u_c, u_a, temps):
-            raw = u_c[:, None, :] + u_a[None, :, :]  # (C, A, 3)
+        # block over cations so the (CB, A, T) score tensor stays HBM-safe
+        # at ANY grid size (1B+ candidates); top-k merges across blocks
+        CB = C if C * A * T <= block_elems else max(block_elems // max(A * T, 1), 1)
+        n_blocks = -(-C // CB)
+
+        def pair_eval(u_c_blk, n_valid, u_a, temps):
+            raw = u_c_blk[:, None, :] + u_a[None, :, :]  # (CB, A, 3)
             a = raw[..., 0]
             b = jnp.clip(jax.nn.softplus(raw[..., 1]), *cfg.vft_b_clip)
             c = jnp.clip(jax.nn.softplus(raw[..., 2]), *cfg.vft_c_clip)
             t = temps / cfg.t_scale  # (T,)
             pred = a[..., None] + b[..., None] / (t + c[..., None] + cfg.vft_eps)
-            score = -pred.reshape(-1) if minimize else pred.reshape(-1)
-            vals, idx = jax.lax.top_k(score, k)
+            score = -pred if minimize else pred
+            # mask padded cation rows of the last block
+            row_ok = jnp.arange(score.shape[0]) < n_valid
+            score = jnp.where(row_ok[:, None, None], score, -jnp.inf)
+            vals, idx = jax.lax.top_k(score.reshape(-1), k)
             return vals, idx
 
-        vals, idx = jax.jit(pair_eval)(
-            jnp.asarray(u_c), jnp.asarray(u_a), jnp.asarray(temps)
-        )
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        fn = jax.jit(pair_eval)
+        merged: List[Tuple[float, int]] = []
+        for blk in range(n_blocks):
+            c0 = blk * CB
+            blk_u = np.zeros((CB, 3), np.float32)
+            n_valid = min(CB, C - c0)
+            blk_u[:n_valid] = u_c[c0:c0 + n_valid]
+            vals, idx = fn(jnp.asarray(blk_u), jnp.int32(n_valid),
+                           jnp.asarray(u_a), jnp.asarray(temps))
+            vals, idx = np.asarray(vals), np.asarray(idx)
+            ok = np.isfinite(vals)
+            merged.extend(zip(vals[ok].tolist(),
+                              (idx[ok].astype(np.int64) + c0 * A * T).tolist()))
+        merged.sort(reverse=True)
+        merged = merged[:k]
         dt = _time.perf_counter() - t0
 
         results = []
-        for v, gid in zip(vals, idx):
+        for v, gid in merged:
             pred = -float(v) if minimize else float(v)
             if self.normalizer is not None:
                 pred = float(self.normalizer.inverse(np.float32(pred)))

@@ -270,3 +270,18 @@ def test_screen_grid_factorized_rejects_non_vft(encoded_viscosity):
                           engine.vocab, engine.plan)
     with pytest.raises(ValueError, match="VFT"):
         eng.screen_grid_factorized(IONS[:2], IONS[3:4], [300.0])
+
+
+def test_screen_grid_factorized_blocked_matches_single(encoded_viscosity):
+    """Cation-blocked eval (HBM-safe path for 1B+ grids) == single block."""
+    engine = _engine(encoded_viscosity)
+    cations, anions, temps = IONS[:3], IONS[3:], [290.0, 320.0, 360.0]
+    one = engine.screen_grid_factorized(cations, anions, temps, top_k=9)
+    blk = engine.screen_grid_factorized(cations, anions, temps, top_k=9,
+                                        block_elems=7)  # forces CB=1
+    assert [(r.cation, r.anion, r.temperature) for r in blk.results] == \
+           [(r.cation, r.anion, r.temperature) for r in one.results]
+    np.testing.assert_allclose(
+        [r.prediction for r in blk.results],
+        [r.prediction for r in one.results], rtol=1e-6, atol=1e-7,
+    )
