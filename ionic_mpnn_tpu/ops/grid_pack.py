@@ -258,6 +258,17 @@ def window_tile_on_device(
     counts = jnp.zeros(nw + 1, jnp.int32).at[idx].add(
         1, mode="drop", indices_are_sorted=True
     )[:nw]
+    if not isinstance(counts, jax.core.Tracer):
+        # eager calls verify the capacity contract outright (same pattern
+        # as ops/pallas/segment_sum); under jit callers must size `tile`
+        # with the proven pool bound
+        worst = int(jax.device_get(counts.max()))
+        if worst > tile:
+            raise ValueError(
+                f"window tile capacity {tile} exceeded ({worst} real edges "
+                f"in one {window}-node window) — size tile with "
+                f"pool_window_tile_bound"
+            )
     starts = _prefix_offsets(counts)[:nw]
     s = jnp.arange(nw * tile, dtype=jnp.int32)
     w = s // tile

@@ -285,3 +285,14 @@ def test_screen_grid_factorized_blocked_matches_single(encoded_viscosity):
         [r.prediction for r in blk.results],
         [r.prediction for r in one.results], rtol=1e-6, atol=1e-7,
     )
+
+
+def test_window_tile_on_device_eager_overflow_raises(encoded_viscosity):
+    from ionic_mpnn_tpu.ops.grid_pack import window_tile_on_device
+
+    vocab = encoded_viscosity["vocab"]
+    dpool = device_pool(IonPool(IONS, vocab))
+    packed = pack_side_on_device(dpool, jnp.asarray(np.zeros(8, np.int32)),
+                                 128, 384)
+    with pytest.raises(ValueError, match="tile capacity"):
+        window_tile_on_device(packed, tile=2, window=128)
