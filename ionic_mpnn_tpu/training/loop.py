@@ -373,7 +373,8 @@ def fit(
 
     eval_step = make_eval_step(model, model_cfg, train_cfg, has_bs)
 
-    history: Dict[str, List[float]] = {"loss": [], "val_loss": []}
+    history: Dict[str, List[float]] = {"loss": [], "val_loss": [],
+                                       "epoch_seconds": []}
     best_val = float("inf")
     best_params = jax.device_get(state.params)
     best_stats = jax.device_get(state.batch_stats)
@@ -408,7 +409,9 @@ def fit(
         best_stats = restored.get("best_stats", best_stats)
         best_val = extra["best_val"]
         patience = extra["patience"]
-        history = {"loss": list(extra["loss"]), "val_loss": list(extra["val_loss"])}
+        history = {"loss": list(extra["loss"]),
+                   "val_loss": list(extra["val_loss"]),
+                   "epoch_seconds": []}
         start_epoch = restored["step"] + 1
         if verbose:
             print(f"resumed from {ckpt_dir} at epoch {restored['step']}")
@@ -466,6 +469,7 @@ def fit(
 
         history["loss"].append(train_loss)
         history["val_loss"].append(val_loss)
+        history["epoch_seconds"].append(time.time() - t0)
 
         if verbose and epoch in log_epochs:
             print(
