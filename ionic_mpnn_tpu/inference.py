@@ -692,7 +692,24 @@ class ScreeningEngine:
             # mask padded cation rows of the last block
             row_ok = jnp.arange(score.shape[0]) < n_valid
             score = jnp.where(row_ok[:, None, None], score, -jnp.inf)
-            vals, idx = jax.lax.top_k(score.reshape(-1), k)
+            flat = score.reshape(-1)
+            # two-stage EXACT top-k: lax.top_k over tens of millions of
+            # elements is sort-bound (measured ~60 s per 64M-element block
+            # on the v5e relay); chunk, keep each chunk's top-k, then
+            # select over the union — the global top-k is a subset of the
+            # union, so this is exact, and per-chunk sorts are cheap.
+            chunk = 65536
+            if flat.size > 4 * chunk and flat.size > 4 * k:
+                pad = (-flat.size) % chunk
+                flat = jnp.pad(flat, (0, pad), constant_values=-jnp.inf)
+                rows = flat.reshape(-1, chunk)
+                kk = min(k, chunk)
+                v1, i1 = jax.lax.top_k(rows, kk)  # (R, kk)
+                base = (jnp.arange(rows.shape[0], dtype=jnp.int32) * chunk)[:, None]
+                vals, i2 = jax.lax.top_k(v1.reshape(-1), k)
+                idx = (base + i1).reshape(-1)[i2]
+                return vals, idx
+            vals, idx = jax.lax.top_k(flat, k)
             return vals, idx
 
         fn = jax.jit(pair_eval)

@@ -296,3 +296,31 @@ def test_window_tile_on_device_eager_overflow_raises(encoded_viscosity):
                                  128, 384)
     with pytest.raises(ValueError, match="tile capacity"):
         window_tile_on_device(packed, tile=2, window=128)
+
+
+def test_factorized_two_stage_topk_matches_numpy_oracle(encoded_viscosity):
+    """Grid big enough to trigger the chunked exact top-k (>=262k scores):
+    results must equal a numpy replication of the closed form."""
+    engine = _engine(encoded_viscosity)
+    temps = np.linspace(280.0, 400.0, 30001).astype(np.float32)
+    cations, anions = IONS[:3], IONS[3:]
+    fact = engine.screen_grid_factorized(cations, anions, temps, top_k=7)
+    assert fact.n_screened == 3 * 3 * 30001
+
+    cat_pool = IonPool(cations, engine.vocab)
+    an_pool = IonPool(anions, engine.vocab)
+    pc = engine._project_pool(cat_pool, "cation")
+    pa = engine._project_pool(an_pool, "anion")
+    head = engine._variables["params"]["vft_head"]["visc_params"]
+    k = np.asarray(head["kernel"], np.float32)
+    b = np.asarray(head["bias"], np.float32)
+    uc, ua = pc @ k, pa @ k + b
+    raw = (uc[:, None, :] + ua[None, :, :]).astype(np.float32)
+    sp = lambda x: np.logaddexp(0.0, x.astype(np.float64)).astype(np.float32)
+    A_ = raw[..., 0]
+    B_ = np.clip(sp(raw[..., 1]), 0.0, 20.0)
+    C_ = np.clip(sp(raw[..., 2]), 0.1, 50.0)
+    pred = A_[..., None] + B_[..., None] / (temps / 100.0 + C_[..., None] + 1e-6)
+    best = np.sort(pred.reshape(-1))[:7]
+    np.testing.assert_allclose([r.prediction for r in fact.results], best,
+                               rtol=1e-4, atol=1e-5)
