@@ -116,11 +116,23 @@ def _pack_side(side: _Side, g0: int, g1: int, plan: BatchPlan) -> PackedGraphs:
     from ..ops.pallas.segment_sum import check_window_capacity
 
     check_window_capacity(dst, plan.node_cap, edge_mask=edge_mask)
+    layout = "sorted"
+    if plan.edge_layout in ("window", "window_aligned"):
+        # native window tiling: the Python tiler costs ~4 numpy passes
+        # over the edge arrays per batch, which dominates host time at
+        # production batch sizes (battery 18)
+        src, dst, bond_ids, edge_mask = native.window_tile_native(
+            src, dst, bond_ids, edge_mask,
+            plan.node_cap, plan.window, plan.edge_tile,
+            aligned=plan.edge_layout == "window_aligned",
+        )
+        layout = plan.edge_layout
     return PackedGraphs(
         atom_ids=atom_ids, bond_ids=bond_ids, src=src, dst=dst,
         node_graph=node_graph, node_local=node_local,
         node_mask=node_mask, edge_mask=edge_mask,
         n_graphs=plan.batch_size,
+        edge_layout=layout,
     )
 
 
@@ -173,11 +185,4 @@ def iter_batches_fast(
             y=yy,
             sample_mask=mask,
         )
-        if plan.edge_layout in ("window", "window_aligned"):
-            from .packing import window_tile_batch
-
-            batch = window_tile_batch(
-                batch, plan.edge_tile, plan.window,
-                aligned=plan.edge_layout == "window_aligned",
-            )
-        yield batch
+        yield batch  # window tiling already applied natively in _pack_side

@@ -17,7 +17,13 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["get_packer_lib", "native_available", "pack_graphs_native", "plan_batches_native"]
+__all__ = [
+    "get_packer_lib",
+    "native_available",
+    "pack_graphs_native",
+    "plan_batches_native",
+    "window_tile_native",
+]
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "packer.cpp"
@@ -74,6 +80,12 @@ def get_packer_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32,
             i32p,
+        ]
+        lib.window_tile.restype = ctypes.c_int
+        lib.window_tile.argtypes = [
+            i32p, i32p, i32p, u8p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, u8p,
         ]
         _lib = lib
         return _lib
@@ -155,3 +167,43 @@ def plan_batches_native(
     if rc < 0:
         raise ValueError(f"a single graph exceeds capacities (err {rc})")
     return starts[: rc + 1]
+
+
+def window_tile_native(
+    src: np.ndarray, dst: np.ndarray, bond_ids: np.ndarray,
+    edge_mask: np.ndarray, node_cap: int, window: int, tile: int,
+    aligned: bool = False,
+):
+    """C++ window tiling of a dst-sorted packed edge list (mirror of
+    ``data.packing.window_tile_edges``, same capacity/locality errors).
+    Returns (src, dst, bond_ids, edge_mask) with ``nw*tile`` slots."""
+    lib = get_packer_lib()
+    if lib is None:
+        raise RuntimeError("native packer unavailable (no g++?)")
+    nw = node_cap // window
+    e2 = nw * tile
+    src_o = np.empty(e2, np.int32)
+    dst_o = np.empty(e2, np.int32)
+    bond_o = np.empty(e2, np.int32)
+    mask_o = np.empty(e2, np.uint8)
+    rc = lib.window_tile(
+        np.ascontiguousarray(src, np.int32),
+        np.ascontiguousarray(dst, np.int32),
+        np.ascontiguousarray(bond_ids, np.int32),
+        np.ascontiguousarray(edge_mask, np.uint8),
+        len(src), node_cap, window, tile, int(aligned),
+        src_o, dst_o, bond_o, mask_o,
+    )
+    if rc == -4:
+        raise ValueError(
+            f"window tile capacity {tile} exceeded — size the plan's "
+            f"edge_tile with the proven bound"
+        )
+    if rc == -5:
+        raise ValueError(
+            "edge violates the window locality contract "
+            f"(aligned={aligned}, window={window})"
+        )
+    if rc != 0:
+        raise ValueError(f"native window_tile error {rc}")
+    return src_o, dst_o, bond_o, mask_o.astype(bool)

@@ -27,6 +27,8 @@ enum PackError {
   PACK_NODE_OVERFLOW = -1,
   PACK_EDGE_OVERFLOW = -2,
   PACK_BAD_ARGS = -3,
+  PACK_TILE_OVERFLOW = -4,
+  PACK_LOCALITY = -5,
 };
 
 // Pack one batch of molecules given columnar inputs:
@@ -188,6 +190,57 @@ int plan_batches(
     starts_out[n_batches] = num_graphs;
   }
   return n_batches;
+}
+
+// Re-lay a dst-sorted packed edge list into fixed per-window tiles
+// (mirror of data/packing.py::window_tile_edges): window w (nodes
+// [w*window, (w+1)*window)) owns output slots [w*tile, (w+1)*tile); its
+// real edges fill the slot prefix in input order; remaining slots are
+// masked self-loops on the window's last node. aligned=1 additionally
+// requires src and dst to share a window (edge_layout="window_aligned");
+// aligned=0 requires |src - dst| < window (the onehot halo contract).
+// Output arrays have (node_cap / window) * tile slots.
+int window_tile(
+    const int32_t* src, const int32_t* dst, const int32_t* bond_ids,
+    const uint8_t* edge_mask, int32_t edge_cap,
+    int32_t node_cap, int32_t window, int32_t tile, int32_t aligned,
+    int32_t* src_out, int32_t* dst_out, int32_t* bond_out,
+    uint8_t* mask_out) {
+  if (window <= 0 || tile <= 0 || node_cap % window != 0)
+    return PACK_BAD_ARGS;
+  const int32_t nw = node_cap / window;
+  const int64_t e2 = static_cast<int64_t>(nw) * tile;
+  for (int32_t w = 0; w < nw; ++w) {
+    const int32_t pad_node = w * window + window - 1;
+    for (int32_t t = 0; t < tile; ++t) {
+      const int64_t s = static_cast<int64_t>(w) * tile + t;
+      src_out[s] = pad_node;
+      dst_out[s] = pad_node;
+      bond_out[s] = 0;
+      mask_out[s] = 0;
+    }
+  }
+  (void)e2;
+  std::vector<int32_t> count(nw, 0);
+  for (int32_t e = 0; e < edge_cap; ++e) {
+    if (!edge_mask[e]) continue;
+    const int32_t d = dst[e], sfrom = src[e];
+    const int32_t w = d / window;
+    if (w < 0 || w >= nw) return PACK_BAD_ARGS;
+    if (aligned) {
+      if (sfrom / window != w) return PACK_LOCALITY;
+    } else {
+      const int64_t span = sfrom > d ? sfrom - d : d - sfrom;
+      if (span >= window) return PACK_LOCALITY;
+    }
+    if (count[w] >= tile) return PACK_TILE_OVERFLOW;
+    const int64_t s = static_cast<int64_t>(w) * tile + count[w]++;
+    src_out[s] = sfrom;
+    dst_out[s] = d;
+    bond_out[s] = bond_ids[e];
+    mask_out[s] = 1;
+  }
+  return PACK_OK;
 }
 
 }  // extern "C"
