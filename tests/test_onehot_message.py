@@ -319,3 +319,30 @@ def test_native_packer_aligned_matches_python(data, plan_a):
             np.testing.assert_array_equal(gf.dst, gs.dst)
             np.testing.assert_array_equal(gf.bond_ids, gs.bond_ids)
             assert gf.edge_layout == gs.edge_layout == "window_aligned"
+
+
+def test_melting_point_model_onehot_aligned_parity(data):
+    """MeltingPointModel (bond_dim = atom_dim^2 = 1024, MLP head): onehot
+    on aligned batches == gather on sorted — the other flagship config."""
+    from ionic_mpnn_tpu.config import melting_point_config
+    from ionic_mpnn_tpu.models import MeltingPointModel
+
+    records, vocab = data
+    recs = [dict(r, mp=r.get("log_eta", 0.0)) for r in records]
+    plan_s = plan_capacities(recs, batch_size=BS, with_temperature=False,
+                             target_key="mp")
+    plan_a = plan_capacities(recs, batch_size=BS, with_temperature=False,
+                             target_key="mp", edge_layout="window_aligned")
+    batch_s = next(iter_batches(recs, plan_s))
+    batch_a = next(iter_batches(recs, plan_a))
+    assert int(np.asarray(batch_s.sample_mask).sum()) == \
+           int(np.asarray(batch_a.sample_mask).sum()) == len(recs)
+
+    cfg_g = melting_point_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
+    cfg_o = cfg_g.replace(message_impl="onehot")
+    model_g, model_o = MeltingPointModel(cfg_g), MeltingPointModel(cfg_o)
+    variables = model_g.init(jax.random.PRNGKey(0), batch_s)
+    pred_g = model_g.apply(variables, batch_s, deterministic=True)["pred"]
+    pred_o = model_o.apply(variables, batch_a, deterministic=True)["pred"]
+    np.testing.assert_allclose(np.asarray(pred_o), np.asarray(pred_g),
+                               rtol=2e-4, atol=2e-4)
