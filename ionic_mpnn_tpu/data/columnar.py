@@ -35,24 +35,6 @@ class _Side:
         return (np.diff(self.atom_off).astype(np.int32),
                 np.diff(self.edge_off).astype(np.int32))
 
-    def permuted(self, order: np.ndarray) -> "_Side":
-        n_sizes, e_sizes = self.sizes()
-        n_sizes, e_sizes = n_sizes[order], e_sizes[order]
-        atom_off = np.zeros(len(order) + 1, np.int64)
-        edge_off = np.zeros(len(order) + 1, np.int64)
-        np.cumsum(n_sizes, out=atom_off[1:])
-        np.cumsum(e_sizes, out=edge_off[1:])
-        atoms = np.empty_like(self.atoms)
-        bonds = np.empty_like(self.bonds)
-        edges = np.empty_like(self.edges)
-        for new_i, old_i in enumerate(order):
-            a0, a1 = self.atom_off[old_i], self.atom_off[old_i + 1]
-            e0, e1 = self.edge_off[old_i], self.edge_off[old_i + 1]
-            atoms[atom_off[new_i]:atom_off[new_i + 1]] = self.atoms[a0:a1]
-            bonds[edge_off[new_i]:edge_off[new_i + 1]] = self.bonds[e0:e1]
-            edges[edge_off[new_i]:edge_off[new_i + 1]] = self.edges[e0:e1]
-        return _Side(atoms, bonds, edges, atom_off, edge_off)
-
 
 @dataclass
 class ColumnarIonPairs:
@@ -95,38 +77,37 @@ class ColumnarIonPairs:
         return len(self.pair_ids)
 
 
-def _pack_side(side: _Side, g0: int, g1: int, plan: BatchPlan) -> PackedGraphs:
-    a0, a1 = side.atom_off[g0], side.atom_off[g1]
-    e0, e1 = side.edge_off[g0], side.edge_off[g1]
-    arrays = native.pack_graphs_native(
-        side.atoms[a0:a1],
-        side.atom_off[g0:g1 + 1] - a0,
-        side.bonds[e0:e1],
-        side.edges[e0:e1],
-        side.edge_off[g0:g1 + 1] - e0,
+def _pack_side(side: _Side, sel: np.ndarray, plan: BatchPlan) -> PackedGraphs:
+    arrays = native.pack_graphs_indexed_native(
+        side.atoms, side.atom_off, side.bonds, side.edges, side.edge_off,
+        sel,
         plan.node_cap,
         plan.edge_cap,
         duplicate_edges=plan.duplicate_edges,
         node_align=plan.node_align,
     )
     atom_ids, bond_ids, src, dst, node_graph, node_local, node_mask, edge_mask = arrays
-    # Same Pallas sorted-scatter capacity guard as the Python packer: the
-    # native loader must never emit a batch the kernel would silently
-    # truncate (see ops/pallas/segment_sum.py capacity contract).
-    from ..ops.pallas.segment_sum import check_window_capacity
-
-    check_window_capacity(dst, plan.node_cap, edge_mask=edge_mask)
     layout = "sorted"
     if plan.edge_layout in ("window", "window_aligned"):
         # native window tiling: the Python tiler costs ~4 numpy passes
         # over the edge arrays per batch, which dominates host time at
-        # production batch sizes (battery 18)
+        # production batch sizes (battery 18). The tiler enforces a
+        # per-window capacity STRICTER than the Pallas sorted-scatter
+        # contract, so the extra check below is only needed for sorted
+        # batches.
         src, dst, bond_ids, edge_mask = native.window_tile_native(
             src, dst, bond_ids, edge_mask,
             plan.node_cap, plan.window, plan.edge_tile,
             aligned=plan.edge_layout == "window_aligned",
         )
         layout = plan.edge_layout
+    else:
+        # Same Pallas sorted-scatter capacity guard as the Python packer:
+        # the native loader must never emit a batch the kernel would
+        # silently truncate (see ops/pallas/segment_sum.py).
+        from ..ops.pallas.segment_sum import check_window_capacity
+
+        check_window_capacity(dst, plan.node_cap, edge_mask=edge_mask)
     return PackedGraphs(
         atom_ids=atom_ids, bond_ids=bond_ids, src=src, dst=dst,
         node_graph=node_graph, node_local=node_local,
@@ -150,19 +131,21 @@ def iter_batches_fast(
     if not native.native_available():
         raise RuntimeError("native packer unavailable; use data.loader.iter_batches")
     G = len(data)
+    # Shuffle permutes ONLY the size/target arrays; the indexed packer
+    # gathers molecules straight from the unpermuted flat pools (the
+    # per-epoch permuted dataset copy was 69% of host epoch time).
     if shuffle:
         order = np.random.default_rng(seed).permutation(G)
-        cat, an = data.cation.permuted(order), data.anion.permuted(order)
         temperature, y = data.temperature[order], data.y[order]
     else:
-        cat, an = data.cation, data.anion
+        order = np.arange(G)
         temperature, y = data.temperature, data.y
 
     mult = 2 if plan.duplicate_edges else 1
-    cn, ce = cat.sizes()
-    an_n, an_e = an.sizes()
+    cn, ce = data.cation.sizes()
+    an_n, an_e = data.anion.sizes()
     starts = native.plan_batches_native(
-        cn, ce * mult, an_n, an_e * mult,
+        cn[order], ce[order] * mult, an_n[order], an_e[order] * mult,
         plan.batch_size, plan.node_cap, plan.edge_cap,
         node_align=plan.node_align,
     )
@@ -171,6 +154,7 @@ def iter_batches_fast(
     for i in range(len(starts) - 1):
         g0, g1 = int(starts[i]), int(starts[i + 1])
         n_real = g1 - g0
+        sel = order[g0:g1]
         temp = np.zeros((B, 1), np.float32)
         yy = np.zeros(B, np.float32)
         mask = np.zeros(B, np.float32)
@@ -179,8 +163,8 @@ def iter_batches_fast(
         yy[:n_real] = y[g0:g1]
         mask[:n_real] = 1.0
         batch = IonPairBatch(
-            cation=_pack_side(cat, g0, g1, plan),
-            anion=_pack_side(an, g0, g1, plan),
+            cation=_pack_side(data.cation, sel, plan),
+            anion=_pack_side(data.anion, sel, plan),
             temperature=temp,
             y=yy,
             sample_mask=mask,

@@ -21,6 +21,7 @@ __all__ = [
     "get_packer_lib",
     "native_available",
     "pack_graphs_native",
+    "pack_graphs_indexed_native",
     "plan_batches_native",
     "window_tile_native",
 ]
@@ -80,6 +81,14 @@ def get_packer_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32,
             i32p,
+        ]
+        lib.pack_graphs_indexed.restype = ctypes.c_int
+        lib.pack_graphs_indexed.argtypes = [
+            i32p, i64p, i32p, i32p, i64p,
+            i32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p, i32p, u8p, u8p,
         ]
         lib.window_tile.restype = ctypes.c_int
         lib.window_tile.argtypes = [
@@ -167,6 +176,51 @@ def plan_batches_native(
     if rc < 0:
         raise ValueError(f"a single graph exceeds capacities (err {rc})")
     return starts[: rc + 1]
+
+
+def pack_graphs_indexed_native(
+    atoms_pool: np.ndarray, atom_off: np.ndarray,
+    bonds_pool: np.ndarray, edges_pool: np.ndarray, edge_off: np.ndarray,
+    sel: np.ndarray,
+    node_cap: int, edge_cap: int,
+    duplicate_edges: bool = False, sort_by_dst: bool = True,
+    node_align: int = 0,
+):
+    """C++ packing of molecules ``sel`` gathered directly from the
+    whole-dataset flat pools — shuffling an epoch permutes only the size
+    arrays, never the dataset. Same output contract as
+    :func:`pack_graphs_native` on the selected molecule sequence."""
+    lib = get_packer_lib()
+    if lib is None:
+        raise RuntimeError("native packer unavailable (no g++?)")
+    atom_ids = np.empty(node_cap, np.int32)
+    bond_ids = np.empty(edge_cap, np.int32)
+    src = np.empty(edge_cap, np.int32)
+    dst = np.empty(edge_cap, np.int32)
+    node_graph = np.empty(node_cap, np.int32)
+    node_local = np.empty(node_cap, np.int32)
+    node_mask = np.empty(node_cap, np.uint8)
+    edge_mask = np.empty(edge_cap, np.uint8)
+    sel = np.ascontiguousarray(sel, np.int32)
+    rc = lib.pack_graphs_indexed(
+        np.ascontiguousarray(atoms_pool, np.int32),
+        np.ascontiguousarray(atom_off, np.int64),
+        np.ascontiguousarray(bonds_pool, np.int32),
+        np.ascontiguousarray(edges_pool, np.int32).reshape(-1),
+        np.ascontiguousarray(edge_off, np.int64),
+        sel, len(sel), node_cap, edge_cap,
+        int(duplicate_edges), int(sort_by_dst), int(node_align),
+        atom_ids, bond_ids, src, dst, node_graph, node_local,
+        node_mask, edge_mask,
+    )
+    if rc == -1:
+        raise ValueError(f"node capacity {node_cap} exceeded")
+    if rc == -2:
+        raise ValueError(f"edge capacity {edge_cap} exceeded")
+    if rc != 0:
+        raise ValueError(f"native packer error {rc}")
+    return (atom_ids, bond_ids, src, dst, node_graph, node_local,
+            node_mask.astype(bool), edge_mask.astype(bool))
 
 
 def window_tile_native(
