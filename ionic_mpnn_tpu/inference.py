@@ -629,38 +629,69 @@ class ScreeningEngine:
             out[idx] = np.asarray(fwd(tvars, packed))[: len(idx)]
         return out
 
+    def _head_from_mixed(self, mixed: jnp.ndarray) -> jnp.ndarray:
+        """Apply the non-VFT head (``"mlp"`` | ``"transfer"``) to mixed
+        representations (P, m) → (P,) predictions, replicating the model's
+        head layers from its own parameters (deterministic/inference mode;
+        BatchNorm uses running stats). Pinned against the full model by
+        the factorized-vs-brute parity tests."""
+        cfg = self.model.cfg
+        p = self._variables["params"]
+        relu = jax.nn.relu
+        if cfg.head == "mlp":
+            h = relu(mixed @ p["head_dense"]["kernel"] + p["head_dense"]["bias"])
+            return (h @ p["head_out"]["kernel"] + p["head_out"]["bias"])[:, 0]
+        if cfg.head == "transfer":
+            h = relu(mixed @ p["mp_dense_1"]["kernel"] + p["mp_dense_1"]["bias"])
+            bn = p["mp_bn_1"]
+            stats = self._variables["batch_stats"]["mp_bn_1"]
+            h = (h - stats["mean"]) / jnp.sqrt(stats["var"] + 1e-3)
+            h = h * bn["scale"] + bn["bias"]
+            h = relu(h @ p["mp_dense_2"]["kernel"] + p["mp_dense_2"]["bias"])
+            # dropout is identity in deterministic mode
+            h = relu(h @ p["mp_dense_3"]["kernel"] + p["mp_dense_3"]["bias"])
+            return (h @ p["melting_point"]["kernel"]
+                    + p["melting_point"]["bias"])[:, 0]
+        raise ValueError(f"no factorized head for {cfg.head!r}")
+
     def screen_grid_factorized(
         self,
         cations: Sequence[str],
         anions: Sequence[str],
-        temperatures,
+        temperatures=(),
         top_k: int = 100,
         minimize: bool = True,
         progress_every: int = 0,  # accepted for API parity; sweep is 1 dispatch
         block_elems: int = 64_000_000,  # max (CB, A, T) score elements per dispatch
     ) -> "SweepReport":
-        """Exact-math factorized sweep for VFT-head models.
+        """Exact-math factorized grid sweep.
 
         The trunk's ``mixed`` representation is an elementwise SUM of
-        per-ion projections and the VFT head is ``Dense(3)`` (linear) over
-        it followed by a closed form in T, so the full cation×anion×T grid
-        factorizes: encode C + A unique ions once, precompute per-ion
-        3-vectors ``u = proj @ W`` (bias folded into the anion side), then
-        every candidate is ``(a, b, c) = clip/softplus(u_c + u_a)`` and
-        ``log10(eta) = a + b/(T/100 + c + eps)`` — a (C, A, T) elementwise
-        evaluation + one on-device top-k instead of 20M molecule encodings
-        (~1000× less encoder work for the 10M BASELINE config-5 grid).
-        Predictions are bit-comparable to :meth:`screen_grid` (same ops,
-        same dtype; only the batching differs).
+        per-ion projections, so the sweep encodes C + A unique ions ONCE
+        instead of once per candidate pair (~1000× less encoder work for
+        the 10M BASELINE config-5 grid).
+
+        * VFT head (viscosity): ``Dense(3)`` is linear over ``mixed``, so
+          per-ion 3-vectors ``u = proj @ W`` (bias folded into the anion
+          side) turn every candidate into ``(a, b, c) =
+          clip/softplus(u_c + u_a)`` and ``log10(eta) = a + b/(T/100 + c
+          + eps)`` — a blocked (C, A, T) elementwise evaluation + exact
+          two-stage top-k on device.
+        * MLP/transfer heads (melting point — no temperature input): the
+          head runs per PAIR on ``mixed = proj_c[ci] + proj_a[ai]``,
+          blocked over cations the same way.
+
+        Predictions match :meth:`screen_grid` (same ops, same dtype; only
+        the batching differs).
         """
         import time as _time
 
         cfg = self.model.cfg
-        if cfg.head != "vft":
-            raise ValueError(
-                f"factorized sweep requires the VFT head, got {cfg.head!r}"
-            )
         t0 = _time.perf_counter()
+        if cfg.head != "vft":
+            return self._screen_pairs_factorized(
+                cations, anions, top_k, minimize, block_elems, t0,
+            )
         cat_pool = IonPool(cations, self.vocab)
         an_pool = IonPool(anions, self.vocab)
         temps = np.atleast_1d(np.asarray(temperatures, np.float32))
@@ -709,7 +740,7 @@ class ScreeningEngine:
                 vals, i2 = jax.lax.top_k(v1.reshape(-1), k)
                 idx = (base + i1).reshape(-1)[i2]
                 return vals, idx
-            vals, idx = jax.lax.top_k(flat, k)
+            vals, idx = jax.lax.top_k(flat, min(k, flat.size))
             return vals, idx
 
         fn = jax.jit(pair_eval)
@@ -748,6 +779,64 @@ class ScreeningEngine:
             skipped=cat_pool.skipped + an_pool.skipped,
             producer_wait_s=0.0,
             device_s=dt,
+        )
+
+    def _screen_pairs_factorized(
+        self, cations, anions, top_k, minimize, block_elems, t0,
+    ) -> "SweepReport":
+        """Factorized sweep for T-free heads: per-pair head evaluation on
+        ``mixed = proj_c[ci] + proj_a[ai]``, blocked over cations."""
+        import time as _time
+
+        cat_pool = IonPool(cations, self.vocab)
+        an_pool = IonPool(anions, self.vocab)
+        C, A = len(cat_pool), len(an_pool)
+        total = C * A
+        k = int(min(top_k, total))
+        proj_c = jnp.asarray(self._project_pool(cat_pool, "cation"))
+        proj_a = jnp.asarray(self._project_pool(an_pool, "anion"))
+
+        CB = C if total <= block_elems else max(block_elems // max(A, 1), 1)
+        n_blocks = -(-C // CB)
+
+        def block_eval(pc_blk, n_valid, pa):
+            mixed = (pc_blk[:, None, :] + pa[None, :, :]).reshape(-1, pc_blk.shape[-1])
+            pred = self._head_from_mixed(mixed)  # (CB*A,)
+            score = -pred if minimize else pred
+            row_ok = (jnp.arange(score.shape[0]) // A) < n_valid
+            score = jnp.where(row_ok, score, -jnp.inf)
+            return jax.lax.top_k(score, min(k, score.shape[0]))
+
+        fn = jax.jit(block_eval)
+        merged: List[Tuple[float, int]] = []
+        for blk in range(n_blocks):
+            c0 = blk * CB
+            n_valid = min(CB, C - c0)
+            pc_blk = jnp.zeros((CB, proj_c.shape[1]), proj_c.dtype
+                               ).at[:n_valid].set(proj_c[c0:c0 + n_valid])
+            vals, idx = fn(pc_blk, jnp.int32(n_valid), proj_a)
+            vals, idx = np.asarray(vals), np.asarray(idx)
+            ok = np.isfinite(vals)
+            merged.extend(zip(vals[ok].tolist(),
+                              (idx[ok].astype(np.int64) + c0 * A).tolist()))
+        merged.sort(reverse=True)
+        merged = merged[:k]
+        dt = _time.perf_counter() - t0
+
+        results = []
+        for v, gid in merged:
+            pred = -float(v) if minimize else float(v)
+            if self.normalizer is not None:
+                pred = float(self.normalizer.inverse(np.float32(pred)))
+            ci_, ai_ = divmod(int(gid), A)
+            results.append(ScreenResult(
+                cation=cat_pool.smiles[ci_], anion=an_pool.smiles[ai_],
+                temperature=0.0, prediction=pred,
+            ))
+        return SweepReport(
+            results=results, n_screened=total, pairs_per_s=total / dt,
+            wall_s=dt, skipped=cat_pool.skipped + an_pool.skipped,
+            producer_wait_s=0.0, device_s=dt,
         )
 
     def _screen_grid_device(

@@ -258,18 +258,46 @@ def test_screen_grid_factorized_matches_bruteforce(encoded_viscosity):
     )
 
 
-def test_screen_grid_factorized_rejects_non_vft(encoded_viscosity):
-    engine = _engine(encoded_viscosity)
+def test_screen_grid_factorized_mlp_head_matches_bruteforce(encoded_viscosity):
+    """T-free factorized sweep (melting-point MLP head) == full model."""
     import dataclasses
 
+    from ionic_mpnn_tpu.config import melting_point_config
+    from ionic_mpnn_tpu.data import iter_batches, plan_capacities
+    from ionic_mpnn_tpu.data.loader import BatchPlan
     from ionic_mpnn_tpu.inference import ScreeningEngine
     from ionic_mpnn_tpu.models import MeltingPointModel
 
-    cfg_mp = dataclasses.replace(engine.model.cfg, head="mlp")
-    eng = ScreeningEngine(MeltingPointModel(cfg_mp), engine._variables["params"],
-                          engine.vocab, engine.plan)
-    with pytest.raises(ValueError, match="VFT"):
-        eng.screen_grid_factorized(IONS[:2], IONS[3:4], [300.0])
+    vocab = encoded_viscosity["vocab"]
+    records = [dict(r, mp=r.get("log_eta", 0.0))
+               for r in encoded_viscosity["viscosity"][:8]]
+    cfg = melting_point_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                               num_steps=2)
+    model = MeltingPointModel(cfg)
+    init_plan = plan_capacities(records, batch_size=8, with_temperature=False,
+                                target_key="mp")
+    params = model.init(jax.random.PRNGKey(0),
+                        next(iter_batches(records, init_plan)))
+    plan = BatchPlan(batch_size=8, node_cap=512, edge_cap=1536,
+                     with_temperature=False, target_key="mp")
+    eng = ScreeningEngine(model, params["params"], vocab, plan)
+    cations, anions = IONS[:3], IONS[3:]
+    brute = eng.screen_grid(cations, anions, [0.0], top_k=6,
+                            device_pack=True, steps_per_call=2)
+    fact = eng.screen_grid_factorized(cations, anions, top_k=6)
+    assert fact.n_screened == brute.n_screened == 9
+    assert [(r.cation, r.anion) for r in fact.results] == \
+           [(r.cation, r.anion) for r in brute.results]
+    np.testing.assert_allclose(
+        [r.prediction for r in fact.results],
+        [r.prediction for r in brute.results], rtol=2e-5, atol=1e-6,
+    )
+    # blocked pair eval (CB < C) stays identical
+    blk = eng.screen_grid_factorized(cations, anions, top_k=6, block_elems=3)
+    np.testing.assert_allclose(
+        [r.prediction for r in blk.results],
+        [r.prediction for r in fact.results], rtol=1e-6, atol=1e-7,
+    )
 
 
 def test_screen_grid_factorized_blocked_matches_single(encoded_viscosity):
