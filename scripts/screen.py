@@ -39,6 +39,9 @@ def main() -> int:
                          "default device-resident grid packing")
     ap.add_argument("--steps-per-call", type=int, default=8,
                     help="batches folded into one dispatch (device path)")
+    ap.add_argument("--model", default="viscosity", choices=["viscosity", "mp"],
+                    help="mp = screen for LOW MELTING POINT with a "
+                    "melting-point checkpoint (no temperature axis)")
     ap.add_argument("--brute-force", action="store_true",
                     help="grid sweeps: evaluate every candidate pair through "
                     "the full model instead of the exact-math factorized "
@@ -56,13 +59,14 @@ def main() -> int:
     enable_compilation_cache()
 
     from ionic_mpnn_tpu.config import (
-        edge_layout_for, resolve_message_impl, viscosity_config,
+        edge_layout_for, melting_point_config, resolve_message_impl,
+        viscosity_config,
     )
     from ionic_mpnn_tpu.data import Vocab
     from ionic_mpnn_tpu.data.loader import BatchPlan
     from ionic_mpnn_tpu.data.synthetic import ANION_SMILES, CATION_TEMPLATES
     from ionic_mpnn_tpu.inference import ScreeningEngine
-    from ionic_mpnn_tpu.models import ViscosityModel
+    from ionic_mpnn_tpu.models import MeltingPointModel, ViscosityModel
     from ionic_mpnn_tpu.training import restore_checkpoint
 
     vocab = Vocab.load(args.vocab)
@@ -71,11 +75,13 @@ def main() -> int:
         from ionic_mpnn_tpu.config import model_config_from_dict
 
         cfg = model_config_from_dict(restored["extra"]["model_config"])
+    elif args.model == "mp":
+        cfg = melting_point_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
     else:
         cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
     impl = resolve_message_impl(args.message_impl)
     cfg = cfg.replace(message_impl=impl)
-    model = ViscosityModel(cfg)
+    model = MeltingPointModel(cfg) if args.model == "mp" else ViscosityModel(cfg)
 
     if args.candidates:
         def candidates():
@@ -99,8 +105,8 @@ def main() -> int:
         batch_size=args.batch_size,
         node_cap=args.batch_size * 96,  # multiple of the 128 onehot window
         edge_cap=args.batch_size * 256,
-        target_key="log_eta",
-        with_temperature=True,
+        target_key="mp" if args.model == "mp" else "log_eta",
+        with_temperature=args.model != "mp",
         duplicate_edges=cfg.parity_mode,
         edge_layout=edge_layout_for(impl),
     )
@@ -129,8 +135,10 @@ def main() -> int:
             print(f"T grid: {n_t} points x {n_pairs:,} pairs")
         elif not temps:
             temps = [args.temperature]
+        if args.model == "mp":
+            temps = [0.0]  # melting point has no temperature input
         t0 = time.time()
-        if args.brute_force or cfg.head != "vft":
+        if args.brute_force:
             report = engine.screen_grid(
                 grid_cations, grid_anions, temps, top_k=args.top_k,
                 minimize=True, progress_every=args.progress_every,
@@ -157,7 +165,8 @@ def main() -> int:
     out.parent.mkdir(parents=True, exist_ok=True)
     with open(out, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["rank", "cation", "anion", "T", "pred_log10_eta"])
+        pred_col = "pred_mp_K" if args.model == "mp" else "pred_log10_eta"
+        w.writerow(["rank", "cation", "anion", "T", pred_col])
         for i, r in enumerate(results, 1):
             w.writerow([i, r.cation, r.anion, f"{r.temperature:.2f}", f"{r.prediction:.4f}"])
     print(f"screened in {dt:.1f}s → top-{args.top_k} at {out}")
