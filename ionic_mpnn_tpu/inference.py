@@ -151,10 +151,15 @@ class ScreeningEngine:
             # screening normalizes to the halo "window" layout: the device
             # grid packer computes node offsets with a closed-form cumsum,
             # which cannot express alignment gaps (sequential), and the
-            # onehot op reads the layout from the batch tag either way
+            # onehot op reads the layout from the batch tag either way.
+            # The aligned plan's edge_tile lacks the 2x-max-molecule
+            # straddler headroom halo tiling needs — reset it so the
+            # chemical-degree bound (_edge_tile) / per-sweep pool bound
+            # apply instead.
             import dataclasses
 
-            plan = dataclasses.replace(plan, edge_layout="window")
+            plan = dataclasses.replace(plan, edge_layout="window",
+                                       edge_tile=0)
         self.plan = plan
         self.normalizer = normalizer
         self.mesh = mesh
@@ -629,14 +634,58 @@ class ScreeningEngine:
             out[idx] = np.asarray(fwd(tvars, packed))[: len(idx)]
         return out
 
-    def _head_from_mixed(self, mixed: jnp.ndarray) -> jnp.ndarray:
+    @staticmethod
+    def _staged_top_k(flat: jnp.ndarray, k: int):
+        """Exact top-k over a huge flat score vector: lax.top_k is
+        sort-bound at tens of millions of elements (measured ~60 s per
+        64M block on the v5e relay); chunk, keep each chunk's top-k, then
+        select over the union — exact because the global top-k is a
+        subset of the union."""
+        chunk = 65536
+        if flat.size > 4 * chunk and flat.size > 4 * k:
+            pad = (-flat.size) % chunk
+            flat = jnp.pad(flat, (0, pad), constant_values=-jnp.inf)
+            rows = flat.reshape(-1, chunk)
+            kk = min(k, chunk)
+            v1, i1 = jax.lax.top_k(rows, kk)  # (R, kk)
+            base = (jnp.arange(rows.shape[0], dtype=jnp.int32) * chunk)[:, None]
+            vals, i2 = jax.lax.top_k(v1.reshape(-1), k)
+            idx = (base + i1).reshape(-1)[i2]
+            return vals, idx
+        return jax.lax.top_k(flat, min(k, flat.size))
+
+    def _merged_report(self, merged, k, minimize, decode, cat_pool, an_pool,
+                       total, dt) -> "SweepReport":
+        """Shared block-merge → de-normalize → ScreenResult assembly for
+        the factorized sweeps. ``decode(gid) -> (ci, ai, T)``."""
+        merged.sort(reverse=True)
+        results = []
+        for v, gid in merged[:k]:
+            pred = -float(v) if minimize else float(v)
+            if self.normalizer is not None:
+                pred = float(self.normalizer.inverse(np.float32(pred)))
+            ci_, ai_, t_val = decode(int(gid))
+            results.append(ScreenResult(
+                cation=cat_pool.smiles[ci_], anion=an_pool.smiles[ai_],
+                temperature=t_val, prediction=pred,
+            ))
+        return SweepReport(
+            results=results, n_screened=total,
+            pairs_per_s=total / dt if dt > 0 else 0.0, wall_s=dt,
+            skipped=cat_pool.skipped + an_pool.skipped,
+            producer_wait_s=0.0, device_s=dt,
+        )
+
+    @staticmethod
+    def _head_from_mixed(cfg, variables, mixed: jnp.ndarray) -> jnp.ndarray:
         """Apply the non-VFT head (``"mlp"`` | ``"transfer"``) to mixed
         representations (P, m) → (P,) predictions, replicating the model's
-        head layers from its own parameters (deterministic/inference mode;
-        BatchNorm uses running stats). Pinned against the full model by
-        the factorized-vs-brute parity tests."""
-        cfg = self.model.cfg
-        p = self._variables["params"]
+        head layers from the given variables (deterministic/inference
+        mode; BatchNorm uses running stats). Variables are threaded as
+        jit ARGUMENTS by callers — never closed over (CLAUDE.md: embedded
+        HLO constants run ~100-1000× slower on this backend). Pinned
+        against the full model by the factorized-vs-brute parity tests."""
+        p = variables["params"]
         relu = jax.nn.relu
         if cfg.head == "mlp":
             h = relu(mixed @ p["head_dense"]["kernel"] + p["head_dense"]["bias"])
@@ -644,7 +693,7 @@ class ScreeningEngine:
         if cfg.head == "transfer":
             h = relu(mixed @ p["mp_dense_1"]["kernel"] + p["mp_dense_1"]["bias"])
             bn = p["mp_bn_1"]
-            stats = self._variables["batch_stats"]["mp_bn_1"]
+            stats = variables["batch_stats"]["mp_bn_1"]
             h = (h - stats["mean"]) / jnp.sqrt(stats["var"] + 1e-3)
             h = h * bn["scale"] + bn["bias"]
             h = relu(h @ p["mp_dense_2"]["kernel"] + p["mp_dense_2"]["bias"])
@@ -698,6 +747,9 @@ class ScreeningEngine:
         C, A, T = len(cat_pool), len(an_pool), len(temps)
         total = C * A * T
         k = int(min(top_k, total))
+        if total == 0:  # every candidate ion skipped (audited), or empty T
+            return self._merged_report([], 0, minimize, None, cat_pool,
+                                       an_pool, 0, _time.perf_counter() - t0)
 
         proj_c = self._project_pool(cat_pool, "cation")
         proj_a = self._project_pool(an_pool, "anion")
@@ -723,25 +775,7 @@ class ScreeningEngine:
             # mask padded cation rows of the last block
             row_ok = jnp.arange(score.shape[0]) < n_valid
             score = jnp.where(row_ok[:, None, None], score, -jnp.inf)
-            flat = score.reshape(-1)
-            # two-stage EXACT top-k: lax.top_k over tens of millions of
-            # elements is sort-bound (measured ~60 s per 64M-element block
-            # on the v5e relay); chunk, keep each chunk's top-k, then
-            # select over the union — the global top-k is a subset of the
-            # union, so this is exact, and per-chunk sorts are cheap.
-            chunk = 65536
-            if flat.size > 4 * chunk and flat.size > 4 * k:
-                pad = (-flat.size) % chunk
-                flat = jnp.pad(flat, (0, pad), constant_values=-jnp.inf)
-                rows = flat.reshape(-1, chunk)
-                kk = min(k, chunk)
-                v1, i1 = jax.lax.top_k(rows, kk)  # (R, kk)
-                base = (jnp.arange(rows.shape[0], dtype=jnp.int32) * chunk)[:, None]
-                vals, i2 = jax.lax.top_k(v1.reshape(-1), k)
-                idx = (base + i1).reshape(-1)[i2]
-                return vals, idx
-            vals, idx = jax.lax.top_k(flat, min(k, flat.size))
-            return vals, idx
+            return self._staged_top_k(score.reshape(-1), k)
 
         fn = jax.jit(pair_eval)
         merged: List[Tuple[float, int]] = []
@@ -756,30 +790,14 @@ class ScreeningEngine:
             ok = np.isfinite(vals)
             merged.extend(zip(vals[ok].tolist(),
                               (idx[ok].astype(np.int64) + c0 * A * T).tolist()))
-        merged.sort(reverse=True)
-        merged = merged[:k]
-        dt = _time.perf_counter() - t0
 
-        results = []
-        for v, gid in merged:
-            pred = -float(v) if minimize else float(v)
-            if self.normalizer is not None:
-                pred = float(self.normalizer.inverse(np.float32(pred)))
-            ci_, rest = divmod(int(gid), A * T)
+        def decode(gid: int):
+            ci_, rest = divmod(gid, A * T)
             ai_, ti_ = divmod(rest, T)
-            results.append(ScreenResult(
-                cation=cat_pool.smiles[ci_], anion=an_pool.smiles[ai_],
-                temperature=float(temps[ti_]), prediction=pred,
-            ))
-        return SweepReport(
-            results=results,
-            n_screened=total,
-            pairs_per_s=total / dt,
-            wall_s=dt,
-            skipped=cat_pool.skipped + an_pool.skipped,
-            producer_wait_s=0.0,
-            device_s=dt,
-        )
+            return ci_, ai_, float(temps[ti_])
+
+        return self._merged_report(merged, k, minimize, decode, cat_pool,
+                                   an_pool, total, _time.perf_counter() - t0)
 
     def _screen_pairs_factorized(
         self, cations, anions, top_k, minimize, block_elems, t0,
@@ -788,25 +806,38 @@ class ScreeningEngine:
         ``mixed = proj_c[ci] + proj_a[ai]``, blocked over cations."""
         import time as _time
 
+        cfg = self.model.cfg
         cat_pool = IonPool(cations, self.vocab)
         an_pool = IonPool(anions, self.vocab)
         C, A = len(cat_pool), len(an_pool)
         total = C * A
         k = int(min(top_k, total))
+        if total == 0:
+            return self._merged_report([], 0, minimize, None, cat_pool,
+                                       an_pool, 0, _time.perf_counter() - t0)
         proj_c = jnp.asarray(self._project_pool(cat_pool, "cation"))
         proj_a = jnp.asarray(self._project_pool(an_pool, "anion"))
 
-        CB = C if total <= block_elems else max(block_elems // max(A, 1), 1)
+        # budget ROWS, not scores: unlike the VFT path (3 floats per
+        # candidate), the head materializes (rows, mixing + widest-layer)
+        # activations per block
+        widest = {"mlp": cfg.fp_size, "transfer": max(cfg.transfer_dims)}.get(
+            cfg.head, cfg.fp_size
+        )
+        row_budget = max(block_elems // (cfg.mixing_size + widest), 1)
+        CB = C if total <= row_budget else max(row_budget // max(A, 1), 1)
         n_blocks = -(-C // CB)
 
-        def block_eval(pc_blk, n_valid, pa):
+        def block_eval(v, pc_blk, n_valid, pa):
             mixed = (pc_blk[:, None, :] + pa[None, :, :]).reshape(-1, pc_blk.shape[-1])
-            pred = self._head_from_mixed(mixed)  # (CB*A,)
+            pred = self._head_from_mixed(cfg, v, mixed)  # (CB*A,)
             score = -pred if minimize else pred
             row_ok = (jnp.arange(score.shape[0]) // A) < n_valid
             score = jnp.where(row_ok, score, -jnp.inf)
-            return jax.lax.top_k(score, min(k, score.shape[0]))
+            return self._staged_top_k(score, k)
 
+        # variables threaded as a jit ARGUMENT (closed-over device arrays
+        # embed as HLO constants and run ~100-1000x slower here)
         fn = jax.jit(block_eval)
         merged: List[Tuple[float, int]] = []
         for blk in range(n_blocks):
@@ -814,30 +845,18 @@ class ScreeningEngine:
             n_valid = min(CB, C - c0)
             pc_blk = jnp.zeros((CB, proj_c.shape[1]), proj_c.dtype
                                ).at[:n_valid].set(proj_c[c0:c0 + n_valid])
-            vals, idx = fn(pc_blk, jnp.int32(n_valid), proj_a)
+            vals, idx = fn(self._variables, pc_blk, jnp.int32(n_valid), proj_a)
             vals, idx = np.asarray(vals), np.asarray(idx)
             ok = np.isfinite(vals)
             merged.extend(zip(vals[ok].tolist(),
                               (idx[ok].astype(np.int64) + c0 * A).tolist()))
-        merged.sort(reverse=True)
-        merged = merged[:k]
-        dt = _time.perf_counter() - t0
 
-        results = []
-        for v, gid in merged:
-            pred = -float(v) if minimize else float(v)
-            if self.normalizer is not None:
-                pred = float(self.normalizer.inverse(np.float32(pred)))
-            ci_, ai_ = divmod(int(gid), A)
-            results.append(ScreenResult(
-                cation=cat_pool.smiles[ci_], anion=an_pool.smiles[ai_],
-                temperature=0.0, prediction=pred,
-            ))
-        return SweepReport(
-            results=results, n_screened=total, pairs_per_s=total / dt,
-            wall_s=dt, skipped=cat_pool.skipped + an_pool.skipped,
-            producer_wait_s=0.0, device_s=dt,
-        )
+        def decode(gid: int):
+            ci_, ai_ = divmod(gid, A)
+            return ci_, ai_, 0.0
+
+        return self._merged_report(merged, k, minimize, decode, cat_pool,
+                                   an_pool, total, _time.perf_counter() - t0)
 
     def _screen_grid_device(
         self,

@@ -31,6 +31,21 @@ enum PackError {
   PACK_LOCALITY = -5,
 };
 
+// Forward declaration — pack_graphs delegates to the indexed variant
+// with an identity selection (single implementation of the packing,
+// alignment, pad-spread, and sort rules).
+int pack_graphs_indexed(
+    const int32_t* atoms_pool, const int64_t* a_off,
+    const int32_t* bonds_pool, const int32_t* edges_pool,
+    const int64_t* e_off,
+    const int32_t* sel, int32_t n_sel,
+    int32_t node_cap, int32_t edge_cap, int32_t duplicate_edges,
+    int32_t sort_by_dst, int32_t node_align,
+    int32_t* atom_ids_out, int32_t* bond_ids_out,
+    int32_t* src_out, int32_t* dst_out,
+    int32_t* node_graph_out, int32_t* node_local_out,
+    uint8_t* node_mask_out, uint8_t* edge_mask_out);
+
 // Pack one batch of molecules given columnar inputs:
 //   atom_ids_flat[atom_off[g] : atom_off[g+1]]  -- raw vocab ids, graph g
 //   bond_ids_flat[edge_off[g] : edge_off[g+1]]  -- raw vocab ids
@@ -49,93 +64,15 @@ int pack_graphs(
     int32_t* src_out, int32_t* dst_out,
     int32_t* node_graph_out, int32_t* node_local_out,
     uint8_t* node_mask_out, uint8_t* edge_mask_out) {
-  if (!atom_ids_flat || !atom_off || !bond_ids_flat || !edges_flat ||
-      !edge_off || num_graphs < 0 || node_cap <= 0 || edge_cap <= 0) {
-    return PACK_BAD_ARGS;
-  }
-
-  std::memset(atom_ids_out, 0, sizeof(int32_t) * node_cap);
-  std::memset(bond_ids_out, 0, sizeof(int32_t) * edge_cap);
-  std::memset(src_out, 0, sizeof(int32_t) * edge_cap);
-  std::memset(dst_out, 0, sizeof(int32_t) * edge_cap);
-  std::memset(node_graph_out, 0, sizeof(int32_t) * node_cap);
-  std::memset(node_local_out, 0, sizeof(int32_t) * node_cap);
-  std::memset(node_mask_out, 0, node_cap);
-  std::memset(edge_mask_out, 0, edge_cap);
-
-  int64_t node_offset = 0;
-  int64_t e_count = 0;
-  const int dup = duplicate_edges ? 2 : 1;
-
-  for (int32_t g = 0; g < num_graphs; ++g) {
-    const int64_t a0 = atom_off[g], a1 = atom_off[g + 1];
-    const int64_t n = a1 - a0;
-    if (node_align > 1 && n > 0) {
-      if (n > node_align) return PACK_NODE_OVERFLOW;
-      if (node_offset % node_align + n > node_align) {
-        node_offset = (node_offset / node_align + 1) * node_align;
-      }
-    }
-    if (node_offset + n > node_cap) return PACK_NODE_OVERFLOW;
-    for (int64_t i = 0; i < n; ++i) {
-      atom_ids_out[node_offset + i] = atom_ids_flat[a0 + i] + 1;
-      node_graph_out[node_offset + i] = g;
-      node_local_out[node_offset + i] = static_cast<int32_t>(i);
-      node_mask_out[node_offset + i] = 1;
-    }
-    const int64_t e0 = edge_off[g], e1 = edge_off[g + 1];
-    const int64_t ne = (e1 - e0) * dup;
-    if (e_count + ne > edge_cap) return PACK_EDGE_OVERFLOW;
-    for (int64_t e = e0; e < e1; ++e) {
-      const int32_t s = edges_flat[2 * e] + static_cast<int32_t>(node_offset);
-      const int32_t t = edges_flat[2 * e + 1] + static_cast<int32_t>(node_offset);
-      const int32_t b = bond_ids_flat[e] + 1;
-      src_out[e_count] = s;
-      dst_out[e_count] = t;
-      bond_ids_out[e_count] = b;
-      edge_mask_out[e_count] = 1;
-      ++e_count;
-      if (dup == 2) {
-        src_out[e_count] = t;
-        dst_out[e_count] = s;
-        bond_ids_out[e_count] = b;
-        edge_mask_out[e_count] = 1;
-        ++e_count;
-      }
-    }
-    node_offset += n;
-  }
-
-  // Spread pad edges uniformly over the node range (zero messages —
-  // placement is free). Keeps the Pallas sorted-scatter kernel's per-window
-  // tile budget safe on underfilled batches (mirror of packing.py).
-  const int64_t n_pad = edge_cap - e_count;
-  for (int64_t k = 0; k < n_pad; ++k) {
-    const int32_t spread = static_cast<int32_t>(k * node_cap / n_pad);
-    src_out[e_count + k] = spread;
-    dst_out[e_count + k] = spread;
-  }
-
-  if (sort_by_dst && edge_cap > 1) {
-    // Sort the FULL capacity (pads included; mask permuted) so dst is
-    // globally sorted — required by the Pallas sorted-scatter kernel.
-    std::vector<int32_t> order(edge_cap);
-    std::iota(order.begin(), order.end(), 0);
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int32_t a, int32_t b) { return dst_out[a] < dst_out[b]; });
-    std::vector<int32_t> tmp(edge_cap);
-    auto permute = [&](int32_t* arr) {
-      for (int64_t i = 0; i < edge_cap; ++i) tmp[i] = arr[order[i]];
-      std::memcpy(arr, tmp.data(), sizeof(int32_t) * edge_cap);
-    };
-    permute(src_out);
-    permute(dst_out);
-    permute(bond_ids_out);
-    std::vector<uint8_t> tmpm(edge_cap);
-    for (int64_t i = 0; i < edge_cap; ++i) tmpm[i] = edge_mask_out[order[i]];
-    std::memcpy(edge_mask_out, tmpm.data(), edge_cap);
-  }
-  return PACK_OK;
+  if (num_graphs < 0) return PACK_BAD_ARGS;
+  std::vector<int32_t> sel(num_graphs);
+  std::iota(sel.begin(), sel.end(), 0);
+  return pack_graphs_indexed(
+      atom_ids_flat, atom_off, bond_ids_flat, edges_flat, edge_off,
+      sel.data(), num_graphs, node_cap, edge_cap, duplicate_edges,
+      sort_by_dst, node_align,
+      atom_ids_out, bond_ids_out, src_out, dst_out,
+      node_graph_out, node_local_out, node_mask_out, edge_mask_out);
 }
 
 // Greedy batch planning: given per-graph (node, edge) sizes and capacities,
@@ -210,7 +147,7 @@ int pack_graphs_indexed(
     int32_t* node_graph_out, int32_t* node_local_out,
     uint8_t* node_mask_out, uint8_t* edge_mask_out) {
   if (!atoms_pool || !a_off || !bonds_pool || !edges_pool || !e_off ||
-      !sel || n_sel < 0 || node_cap <= 0 || edge_cap <= 0) {
+      (!sel && n_sel > 0) || n_sel < 0 || node_cap <= 0 || edge_cap <= 0) {
     return PACK_BAD_ARGS;
   }
   std::memset(atom_ids_out, 0, sizeof(int32_t) * node_cap);

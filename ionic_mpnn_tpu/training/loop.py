@@ -409,9 +409,11 @@ def fit(
         best_stats = restored.get("best_stats", best_stats)
         best_val = extra["best_val"]
         patience = extra["patience"]
+        # wall times of pre-resume epochs are unknown: pad with NaN so the
+        # three history lists stay index-aligned per epoch
         history = {"loss": list(extra["loss"]),
                    "val_loss": list(extra["val_loss"]),
-                   "epoch_seconds": []}
+                   "epoch_seconds": [float("nan")] * len(extra["loss"])}
         start_epoch = restored["step"] + 1
         if verbose:
             print(f"resumed from {ckpt_dir} at epoch {restored['step']}")
