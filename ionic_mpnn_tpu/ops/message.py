@@ -231,6 +231,7 @@ def message_pass_aggregate_onehot(
     edge_mask: jnp.ndarray,  # (nw·T,) bool
     window: int = 128,
     halo: bool = True,
+    select: str = "lanes",  # "lanes" | "vloop" (A/B probe, same math)
 ) -> jnp.ndarray:
     """All-MXU message + aggregate: zero gathers, zero scatters.
 
@@ -302,11 +303,27 @@ def message_pass_aggregate_onehot(
         preferred_element_type=jnp.float32,
     ).astype(dtype)
 
-    # typed transform: K[j, v·D+i] = M_v[i, j] ⇒ (hs @ K)[e, v·D+i] = (M_v hs_e)[i]
-    K = m_table.transpose(2, 0, 1).reshape(D, V * D).astype(dtype)
-    X = jnp.dot(hs.reshape(E, D), K, preferred_element_type=jnp.float32)
-    o_bond = jax.nn.one_hot(bond_ids, V, dtype=X.dtype)
-    m = jnp.einsum("evd,ev->ed", X.reshape(E, V, D), o_bond).astype(dtype)
+    if select == "vloop":
+        # per-type accumulation: V masked (E, D) @ (D, D) matmuls; never
+        # materializes the (E, V·D) lane stack (A/B alternative for
+        # backends where the stacked intermediate hits HBM)
+        hs_flat = hs.reshape(E, D)
+        o_bond = jax.nn.one_hot(bond_ids, V, dtype=dtype)  # (E, V)
+        m = jnp.zeros((E, D), jnp.float32)
+        for v in range(V):
+            m = m + jnp.dot(
+                hs_flat * o_bond[:, v:v + 1],
+                m_table[v].T.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+        m = m.astype(dtype)
+    else:
+        # typed transform: K[j, v·D+i] = M_v[i, j] ⇒
+        # (hs @ K)[e, v·D+i] = (M_v hs_e)[i]
+        K = m_table.transpose(2, 0, 1).reshape(D, V * D).astype(dtype)
+        X = jnp.dot(hs.reshape(E, D), K, preferred_element_type=jnp.float32)
+        o_bond = jax.nn.one_hot(bond_ids, V, dtype=X.dtype)
+        m = jnp.einsum("evd,ev->ed", X.reshape(E, V, D), o_bond).astype(dtype)
 
     # aggregate: (nw, W, T) one-hot dst @ (nw, T, D) messages
     dst_local = (dst - w_of * window).reshape(nw, T)

@@ -193,6 +193,9 @@ def main():
 
         impl = which.split("-", 1)[1]
         halo = True
+        select = "lanes"
+        if impl == "onehotalignedvloop":
+            impl, halo, select = "onehot", False, "vloop"
         if impl == "onehotaligned":
             impl, halo = "onehot", False
         if impl == "onehot":
@@ -217,7 +220,8 @@ def main():
                 from ionic_mpnn_tpu.ops.message import message_pass_aggregate_onehot
 
                 out = message_pass_aggregate_onehot(
-                    h_, bond_, src_, dst_, m_table, mask_, halo=halo)
+                    h_, bond_, src_, dst_, m_table, mask_, halo=halo,
+                    select=select)
             elif impl == "typed":
                 out = message_pass_aggregate_typed(h_, bond_, src_, dst_, m_table, mask_)
             elif impl == "symmetric":

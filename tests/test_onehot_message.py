@@ -346,3 +346,19 @@ def test_melting_point_model_onehot_aligned_parity(data):
     pred_o = model_o.apply(variables, batch_a, deterministic=True)["pred"]
     np.testing.assert_allclose(np.asarray(pred_o), np.asarray(pred_g),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_onehot_vloop_select_matches_lanes(data, plan_a):
+    records, vocab = data
+    g = next(iter_batches(records, plan_a)).cation
+    rng = np.random.default_rng(4)
+    h = jnp.asarray(rng.normal(size=(g.node_capacity, 32)).astype(np.float32))
+    m_table = _tables(vocab)
+    args = (jnp.asarray(g.bond_ids), jnp.asarray(g.src), jnp.asarray(g.dst),
+            m_table, jnp.asarray(g.edge_mask))
+    a = message_pass_aggregate_onehot(h, *args, window=plan_a.window,
+                                      halo=False, select="lanes")
+    b = message_pass_aggregate_onehot(h, *args, window=plan_a.window,
+                                      halo=False, select="vloop")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-5)
