@@ -94,20 +94,21 @@ def bench_packed_train_step(
     distinct_batches: bool = True,
     scatter_impl: str = "xla",
     edge_layout: str = "",
+    onehot_select: str = "lanes",
 ) -> BenchResult:
     if model_kind == "mp":
         cfg = melting_point_config(
             vocab.atom_vocab_size, vocab.bond_vocab_size,
             num_steps=num_steps, compute_dtype=compute_dtype,
             message_impl=message_impl, gru_impl=gru_impl,
-            scatter_impl=scatter_impl,
+            scatter_impl=scatter_impl, onehot_select=onehot_select,
         )
     else:
         cfg = viscosity_config(
             vocab.atom_vocab_size, vocab.bond_vocab_size,
             num_steps=num_steps, compute_dtype=compute_dtype,
             message_impl=message_impl, gru_impl=gru_impl,
-            scatter_impl=scatter_impl,
+            scatter_impl=scatter_impl, onehot_select=onehot_select,
         )
     tcfg = TrainConfig()
     if not edge_layout:

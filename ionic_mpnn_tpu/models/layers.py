@@ -67,6 +67,7 @@ class BondMatrixMessage(nn.Module):
     # impl="onehot": False when the batch is window_ALIGNED (no molecule
     # straddles a window → src context is the window itself, 3x smaller)
     halo: bool = True
+    select: str = "lanes"  # onehot typed-select formulation (see config)
     # Inside shard_map with edge arrays sharded over this axis, per-shard
     # aggregates are merged with one psum (edge-partitioned execution).
     ep_axis: str | None = None
@@ -114,7 +115,7 @@ class BondMatrixMessage(nn.Module):
             )
             agg = message_pass_aggregate_onehot(
                 h, bond_ids, src, dst, m_table, edge_mask,
-                window=self.window, halo=self.halo,
+                window=self.window, halo=self.halo, select=self.select,
             )
         elif self.impl == "typed":
             agg = message_pass_aggregate_typed(h, bond_ids, src, dst, m_table, edge_mask)

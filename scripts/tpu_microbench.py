@@ -146,8 +146,11 @@ def main():
         if impl == "megakernel":
             impl = "pallas_step"
         layout = ""
+        onehot_select = "lanes"
         for opt in parts[1:]:
-            if opt == "fusedgru":
+            if opt == "vloop":
+                onehot_select = "vloop"
+            elif opt == "fusedgru":
                 gru = "fused"
             elif opt == "bf16":
                 dtype = "bfloat16"
@@ -160,7 +163,8 @@ def main():
         r = bench_packed_train_step(records, vocab, batch_size=bs, iters=30,
                                     warmup=5, inner=8, message_impl=impl,
                                     gru_impl=gru, scatter_impl=scatter,
-                                    compute_dtype=dtype, edge_layout=layout)
+                                    compute_dtype=dtype, edge_layout=layout,
+                                    onehot_select=onehot_select)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,
