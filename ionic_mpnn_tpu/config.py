@@ -77,10 +77,11 @@ class ModelConfig:
     # message+aggregate+GRU)
     message_impl: str = "gather"
     onehot_window: int = 128  # node window for message_impl="onehot"
-    # typed-select formulation inside the onehot impl: "lanes" (one
-    # (E, D) @ (D, V·D) matmul + one-hot reduce) | "vloop" (V masked
-    # (E, D) @ (D, D) accumulations — no (E, V·D) intermediate)
-    onehot_select: str = "lanes"
+    # typed-select formulation inside the onehot impl: "vloop" (V masked
+    # (E, D) @ (D, D) accumulations — no (E, V·D) intermediate; default,
+    # battery 24: 11.89 vs 13.45 ms/step f32 at batch 2048) | "lanes"
+    # (one (E, D) @ (D, V·D) matmul + one-hot reduce)
+    onehot_select: str = "vloop"
     gru_impl: str = "reference"  # "fused" packs z|r|candidate into wider matmuls
     scatter_impl: str = "xla"  # "xla" | "pallas" (sorted-scatter TPU kernel)
     # Edge-partitioned execution (graph analogue of context parallelism):
