@@ -6,10 +6,10 @@ step (fwd+bwd+Adam) with packed COO batching on one chip.
 ``vs_baseline`` = speedup over the reference design (dense padded
 batching + per-edge tensordot) with identical weights on the same chip.
 
-The baseline is measured in a fresh subprocess: on this backend, the
-second benchmark config within one process runs pathologically slow
-(measured ~200× — see CLAUDE.md), so every measurement must be
-first-in-process to be honest.
+The baseline is measured in a fresh subprocess: process isolation keeps
+the packed and dense measurements independent (no shared live buffers or
+donated-state interactions), and the persistent compile cache makes the
+extra process cheap.
 
 All timing is FETCH-synced (np.asarray of an output that depends on the
 whole computation chain): jax.block_until_ready returns before execution
@@ -44,8 +44,9 @@ def main() -> int:
     parser.add_argument("--packed-only", action="store_true",
                         help="internal: one first-in-process packed measurement")
     parser.add_argument("--repeats", type=int, default=3,
-                        help="median-of-N fresh-process repeats (the shared "
-                             "remote chip shows +-40%% run-to-run variance)")
+                        help="median-of-N fresh-process repeats (robustness "
+                             "against transient relay/host noise; fetch-synced "
+                             "samples typically agree to 4 digits)")
     args = parser.parse_args()
 
     from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
@@ -95,9 +96,8 @@ def main() -> int:
             }))
             return 0
     else:
-        # median-of-N fresh-process repeats: the second-executable slowdown
-        # forces one measurement per process, and the shared remote chip
-        # needs several samples; the persistent compile cache makes repeats
+        # median-of-N fresh-process repeats: robustness against transient
+        # relay/host noise; the persistent compile cache makes repeats
         # cheap (ionic_mpnn_tpu/utils/cache.py).
         samples = []
         for _ in range(args.repeats):

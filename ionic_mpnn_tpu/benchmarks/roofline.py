@@ -82,13 +82,14 @@ def train_step_cost(
     fwd_flops = num_steps * per_step_flops + readout_flops
     flops = n_ions * fwd_flops * _BWD_FLOP_FACTOR
 
-    # HBM model: VMEM-RESIDENT working set. Measured step times prove the
-    # activations never round-trip HBM (even "essential" gather traffic
-    # would need ~5x the measured step time at 819 GB/s), so XLA keeps the
-    # ~8-30 MB per-ion working set on chip and HBM only streams the batch
-    # arrays once per step plus parameter/optimizer traffic. This makes
-    # hbm_bound_fraction honest (~5% at bench shapes): the step is
-    # MXU-bound (mfu is the binding number — 0.62 median measured).
+    # HBM model: the ESSENTIAL traffic floor — batch arrays streamed once
+    # per step plus parameter/optimizer state — assuming a VMEM-resident
+    # activation working set (~8-30 MB per ion at bench shapes, which fits
+    # v5e's 128 MB VMEM budget under fusion). Real executables may spill
+    # intermediates to HBM; this model is the lower bound the roofline
+    # headroom is quoted against, not a claim about the compiled program
+    # (honest fetch-synced bench: mfu ~0.012 at batch 2048, BENCH_r02 —
+    # the headroom is real and mostly backend pathology, see RESULTS.md).
     io_bytes = bytes_per_elem * (3 * E + 2 * N)  # ids + masks, int32/bool
     param_elems = (
         num_steps * (F * D * D + 12 * D * D)  # bond transforms + GRU denses

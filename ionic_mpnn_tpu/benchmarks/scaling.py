@@ -42,13 +42,19 @@ def _measure(model, cfg, tcfg, mesh, stacked, batches, iters, warmup):
     )
     step_fn = make_dp_train_step(model, cfg, tcfg, optimizer, mesh)
     sb = shard_batch(stacked, mesh)
+    # Synchronize by FETCHING the loss to the host (np.asarray), never by
+    # jax.block_until_ready: on the axon relay backend block_until_ready
+    # returns before execution completes (round 2, RESULTS.md battery 5/6:
+    # 0.4 ms block-synced vs 2146 ms fetch-synced for one identical
+    # dispatch). The TrainState threads through every dispatch, so one
+    # fetch of the final loss forces the whole timed chain.
     for _ in range(warmup):
         state, m = step_fn(state, sb)
-    jax.block_until_ready(m["loss"])
+    np.asarray(m["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step_fn(state, sb)
-    jax.block_until_ready(m["loss"])
+    np.asarray(m["loss"])
     return (time.perf_counter() - t0) / iters
 
 

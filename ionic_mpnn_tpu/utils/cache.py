@@ -2,8 +2,8 @@
 
 Remote compiles through the axon tunnel cost minutes per program shape;
 the persistent cache collapses repeat compiles — including across
-processes, which the benchmarking discipline here relies on (every
-measurement runs first-in-process, see CLAUDE.md) — to ~20 ms (measured
+processes, which keeps bench.py's fresh-subprocess measurement
+isolation cheap — to ~20 ms (measured
 by ``scripts/tpu_probe_cache.py``: 0.41 s → 0.02 s on a toy program;
 multi-minute saves on real train steps).
 

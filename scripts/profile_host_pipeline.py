@@ -28,11 +28,14 @@ def main() -> int:
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
     from ionic_mpnn_tpu.benchmarks import make_bench_dataset
-    from ionic_mpnn_tpu.config import edge_layout_for, resolve_message_impl
+    from ionic_mpnn_tpu.config import edge_layout_for
     from ionic_mpnn_tpu.data import plan_capacities
     from ionic_mpnn_tpu.data.columnar import ColumnarIonPairs, iter_batches_fast
 
     records, vocab = make_bench_dataset(n_records)
+    # profile the ACCELERATOR layout on the host (this script runs on CPU,
+    # where resolve_message_impl would pick "gather"/"sorted" — not what
+    # fit() packs for on TPU), so the impl is pinned rather than resolved
     impl = "onehot"
     plan = plan_capacities(records, batch_size=batch,
                            edge_layout=edge_layout_for(impl))
@@ -98,6 +101,12 @@ def main() -> int:
             stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
             jax.block_until_ready(jax.device_put(stacked))
             group = []
+    if group:
+        # same pad-and-process tail as the stack section, so the two
+        # printed timings cover identical work
+        group = group + [group[-1]] * (K - len(group))
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
+        jax.block_until_ready(jax.device_put(stacked))
     print(f"pack+stack+device_put(cpu): {time.perf_counter() - t0:.3f}s")
     return 0
 

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""First-in-process microbench for the device-resident screening dispatch.
+"""Single-component microbench for the device-resident screening dispatch.
 
 Round-2 finding: the 10M-pair device-pack sweep runs ~3.2 s per dispatch
 (8 x 4096 candidates) when the forward alone should be milliseconds. Each
-invocation measures ONE component (second-executable slowdown — CLAUDE.md):
+invocation measures ONE component in a fresh process (clean isolation;
+the "second-executable slowdown" that originally motivated this was
+retracted as block-sync fiction, RESULTS.md battery 7):
 
   dispatch   : full screen step (pack both sides + fwd + top-k), scan-K
   pack       : grid_batch_on_device both sides only, scan-K
@@ -124,8 +126,9 @@ def main():
         if mode == "dispatch-ckpt":
             # replicate production's pre-sweep work: restore the orbax
             # checkpoint BEFORE building the sweep executable, to test
-            # whether anything it runs demotes the sweep program off the
-            # axon fast path (second-executable slow path, CLAUDE.md).
+            # whether anything it runs slows the subsequent sweep program
+            # (it does not — the round-2 "second-executable slow path"
+            # was retracted as block-sync fiction, RESULTS.md battery 7).
             from ionic_mpnn_tpu.training import restore_checkpoint
 
             restored = restore_checkpoint("results/viscosity/checkpoints")

@@ -1,9 +1,13 @@
 #!/usr/bin/env python
-"""First-in-process component microbenchmarks for the train step.
+"""Single-config component microbenchmarks for the train step.
 
-Each invocation measures ONE config (the axon backend's second-executable
-slowdown forbids more per process); the persistent compile cache makes
-repeat invocations cheap. Shapes mirror `bench.py` at the given batch.
+Each invocation measures ONE config in a fresh process (clean A/B
+isolation — no shared buffers or allocator state between arms; the
+round-2 "second-executable slowdown" that originally motivated this was
+retracted as block-sync fiction, RESULTS.md battery 7, but per-process
+isolation remains the cleanest protocol); the persistent compile cache
+makes repeat invocations cheap. Shapes mirror `bench.py` at the given
+batch.
 
   step-gather | step-symmetric | step-typed | step-pallas :
                  full train step, scan-8 (step-pallas = gather messages +

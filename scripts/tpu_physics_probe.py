@@ -4,7 +4,8 @@
 All block_until_ready-based timings on this backend are fiction (battery 6:
 0.4 ms block-synced vs 2146 ms fetch-synced for one identical dispatch), so
 these probes fetch a scalar that depends on the ENTIRE computation chain.
-Each mode is first-in-process (CLAUDE.md second-executable rule).
+Each mode runs in its own process for clean isolation (the matmul2 probe
+below retracted the round-2 "second-executable" rule under fetch sync).
 
   matmul [n] [K] [iters] : chained bf16 (n,n)@(n,n) matmuls, K per dispatch,
                            iters dispatches threaded through the carry ->

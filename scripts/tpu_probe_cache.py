@@ -32,14 +32,17 @@ def main():
 
     x = jnp.ones((256, 256), jnp.float32)
     w = jnp.ones((256, 256), jnp.float32) * 0.01
+    # fetch-synced (np.asarray): block_until_ready under-waits on the axon
+    # relay backend (RESULTS.md battery 5/6), and the compile time measured
+    # here dominates anyway
     t0 = time.perf_counter()
-    out = jax.block_until_ready(f(x, w))
+    out = float(np.asarray(f(x, w)))
     t1 = time.perf_counter()
-    print(f"[probe-{tag}] first call (compile+run): {t1 - t0:.2f}s out={float(out):.4f}", flush=True)
+    print(f"[probe-{tag}] first call (compile+run): {t1 - t0:.2f}s out={out:.4f}", flush=True)
     t0 = time.perf_counter()
     for _ in range(10):
         out = f(x, w)
-    jax.block_until_ready(out)
+    np.asarray(out)
     print(f"[probe-{tag}] 10 steps: {time.perf_counter() - t0:.4f}s", flush=True)
 
 
