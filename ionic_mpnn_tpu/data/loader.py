@@ -70,6 +70,7 @@ def plan_capacities(
     headroom: float = 1.0,
     edge_layout: str = "sorted",
     window: int = ONEHOT_WINDOW,
+    node_shards: int = 1,
 ) -> BatchPlan:
     """Choose safe static capacities for ``batch_size`` molecules per batch.
 
@@ -84,6 +85,10 @@ def plan_capacities(
     its node range, so ``tile ≤ window·max(edges/atoms) + 2·max_edges``
     (≤ 2 molecules straddle the window boundary). Tiling still validates
     per batch and raises rather than truncates.
+
+    ``node_shards > 1`` rounds the node capacity so the batch folds
+    evenly into that many aligned-EP shards cut at window multiples
+    (``parallel/aligned_partition.py`` — requires a window layout).
     """
     nodes = np.array([_record_sizes(r, duplicate_edges)[0] for r in records])
     edges = np.array([_record_sizes(r, duplicate_edges)[1] for r in records])
@@ -133,11 +138,11 @@ def plan_capacities(
                 for _ in range(3)
             ]
             node_cap = round_up(
-                max(node_cap, max(sims)) + max_mol, window
+                max(node_cap, max(sims)) + max_mol, window * max(node_shards, 1)
             )
             edge_tile = round_up(int(np.ceil(window * density)), 8)
         else:
-            node_cap = round_up(node_cap, window)
+            node_cap = round_up(node_cap, window * max(node_shards, 1))
             edge_tile = round_up(
                 int(np.ceil(window * density)) + 2 * max_mol_edges, 8
             )

