@@ -418,11 +418,16 @@ def fit(
         if verbose:
             print(f"resumed from {ckpt_dir} at epoch {restored['step']}")
 
+    # Async writer: save() snapshots to host and returns; the array flush
+    # runs on a background thread so checkpointing never blocks the epoch
+    # loop (SURVEY §2.3 elasticity row). Joined in the finally below.
+    writer = ckpt.CheckpointWriter() if ckpt_dir else None
+
     def _save(epoch: int) -> None:
         extra_arrays = {"best_params": best_params}
         if has_bs:
             extra_arrays["best_stats"] = best_stats
-        ckpt.save_checkpoint(
+        writer.save(
             ckpt_dir, epoch, state.params,
             batch_stats=state.batch_stats if has_bs else None,
             opt_state=state.opt_state,
@@ -437,72 +442,78 @@ def fit(
             extra_arrays=extra_arrays,
         )
 
-    for epoch in range(start_epoch, train_cfg.epochs + 1):
-        epochs_run = epoch
-        t0 = time.time()
-        losses, ns = [], []
-        group: List[Any] = []
+    try:
+        for epoch in range(start_epoch, train_cfg.epochs + 1):
+            epochs_run = epoch
+            t0 = time.time()
+            losses, ns = [], []
+            group: List[Any] = []
 
-        def _run_group(g):
-            nonlocal state
-            n_real = sum(float(np.asarray(b.sample_mask).sum()) for b in g)
-            state, loss = train_step(state, g)
-            losses.append(loss)
-            ns.append(n_real)
+            def _run_group(g):
+                nonlocal state
+                n_real = sum(float(np.asarray(b.sample_mask).sum()) for b in g)
+                state, loss = train_step(state, g)
+                losses.append(loss)
+                ns.append(n_real)
 
-        for batch in train_iter(train_source, plan, shuffle=True,
-                                seed=train_cfg.seed + epoch):
-            group.append(batch)
-            if len(group) == group_size:
+            for batch in train_iter(train_source, plan, shuffle=True,
+                                    seed=train_cfg.seed + epoch):
+                group.append(batch)
+                if len(group) == group_size:
+                    _run_group(group)
+                    group = []
+            if group:
                 _run_group(group)
-                group = []
-        if group:
-            _run_group(group)
-        w = np.asarray(ns)
-        train_loss = float(np.average(np.asarray(jax.device_get(losses)), weights=w))
+            w = np.asarray(ns)
+            train_loss = float(np.average(np.asarray(jax.device_get(losses)), weights=w))
 
-        val_sum, val_n, reg = 0.0, 0.0, 0.0
-        for batch in iter_batches(dev_records, plan, shuffle=False):
-            out = jax.device_get(eval_step(state.params, state.batch_stats, batch))
-            val_sum += float(out["loss_sum"])
-            val_n += float(out["n"])
-            reg = float(out["reg"])
-        val_loss = val_sum / max(val_n, 1.0) + reg
+            val_sum, val_n, reg = 0.0, 0.0, 0.0
+            for batch in iter_batches(dev_records, plan, shuffle=False):
+                out = jax.device_get(eval_step(state.params, state.batch_stats, batch))
+                val_sum += float(out["loss_sum"])
+                val_n += float(out["n"])
+                reg = float(out["reg"])
+            val_loss = val_sum / max(val_n, 1.0) + reg
 
-        history["loss"].append(train_loss)
-        history["val_loss"].append(val_loss)
-        history["epoch_seconds"].append(time.time() - t0)
+            history["loss"].append(train_loss)
+            history["val_loss"].append(val_loss)
+            history["epoch_seconds"].append(time.time() - t0)
 
-        if verbose and epoch in log_epochs:
-            print(
-                f"Epoch {epoch}/{train_cfg.epochs} - loss: {train_loss:.6f} "
-                f"- val_loss: {val_loss:.6f} ({time.time() - t0:.2f}s)"
-            )
+            if verbose and epoch in log_epochs:
+                print(
+                    f"Epoch {epoch}/{train_cfg.epochs} - loss: {train_loss:.6f} "
+                    f"- val_loss: {val_loss:.6f} ({time.time() - t0:.2f}s)"
+                )
 
-        if val_loss < best_val:
-            best_val = val_loss
-            best_params = jax.device_get(state.params)
-            best_stats = jax.device_get(state.batch_stats)
-            patience = 0
-        else:
-            patience += 1
-            # Keras EarlyStopping stops when wait >= patience (after exactly
-            # `patience` consecutive non-improving epochs).
-            if patience >= train_cfg.early_stopping_patience:
-                stopped_early = True
+            if val_loss < best_val:
+                best_val = val_loss
+                best_params = jax.device_get(state.params)
+                best_stats = jax.device_get(state.batch_stats)
+                patience = 0
+            else:
+                patience += 1
+                # Keras EarlyStopping stops when wait >= patience (after exactly
+                # `patience` consecutive non-improving epochs).
+                if patience >= train_cfg.early_stopping_patience:
+                    stopped_early = True
 
-        if ckpt_dir and (
-            stopped_early
-            or epoch == train_cfg.epochs  # final epoch: always persist
-            or (train_cfg.checkpoint_every
-                and epoch % train_cfg.checkpoint_every == 0)
-        ):
-            _save(epoch)
+            if ckpt_dir and (
+                stopped_early
+                or epoch == train_cfg.epochs  # final epoch: always persist
+                or (train_cfg.checkpoint_every
+                    and epoch % train_cfg.checkpoint_every == 0)
+            ):
+                _save(epoch)
 
-        if stopped_early:
-            if verbose:
-                print(f"Early stopping at epoch {epoch} (best val_loss {best_val:.6f})")
-            break
+            if stopped_early:
+                if verbose:
+                    print(f"Early stopping at epoch {epoch} (best val_loss {best_val:.6f})")
+                break
+    finally:
+        if writer is not None:
+            # join the in-flight async save so the final checkpoint is
+            # committed before fit returns (resume-safety)
+            writer.close()
 
     return FitResult(
         params=best_params,

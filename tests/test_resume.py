@@ -35,6 +35,48 @@ def test_fit_resumes_from_checkpoint(tmp_path, encoded_viscosity):
     assert np.mean(r2.history["loss"][4:]) < np.mean(r2.history["loss"][:4])
 
 
+def test_async_save_does_not_block(tmp_path):
+    """save() on the async writer returns well before the commit: the
+    epoch loop never waits on the array flush (SURVEY §2.3 elasticity)."""
+    import time
+
+    import numpy as np
+
+    from ionic_mpnn_tpu.training import checkpoint as ckpt
+
+    rng = np.random.default_rng(0)
+    payload = {"w": rng.standard_normal((4_000_000,)).astype(np.float32)}  # 16 MB
+
+    # synchronous reference wall time for the same payload
+    t0 = time.perf_counter()
+    ckpt.save_checkpoint(tmp_path / "sync", 1, payload)
+    t_sync = time.perf_counter() - t0
+
+    with ckpt.CheckpointWriter() as w:
+        t0 = time.perf_counter()
+        w.save(tmp_path / "async", 1, payload)
+        t_return = time.perf_counter() - t0
+        w.wait()
+    # generous margin: the async return skips the serialization+fsync that
+    # dominates the sync save
+    assert t_return < max(0.6 * t_sync, 0.15), (t_return, t_sync)
+
+    restored = ckpt.restore_checkpoint(tmp_path / "async")
+    np.testing.assert_array_equal(restored["params"]["w"], payload["w"])
+
+
+def test_latest_step_ignores_uncommitted(tmp_path):
+    """An in-flight (or crashed) save — step dir + meta but no committed
+    state — must never be offered for resume."""
+    from ionic_mpnn_tpu.training import checkpoint as ckpt
+
+    ckpt.save_checkpoint(tmp_path, 3, {"w": np.zeros(4, np.float32)})
+    partial = tmp_path / "step_00000007"
+    partial.mkdir()
+    (partial / "meta.json").write_text('{"step": 7}')
+    assert ckpt.latest_step(tmp_path) == 3
+
+
 def test_fit_without_checkpoint_dir_untouched(tmp_path, encoded_viscosity):
     records = encoded_viscosity["viscosity"][:32]
     vocab = encoded_viscosity["vocab"]
