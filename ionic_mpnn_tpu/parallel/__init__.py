@@ -19,7 +19,13 @@ from .aligned_partition import (
     shard_aligned_batch,
     shard_graphs_aligned,
 )
-from .tensor_parallel import param_specs, shard_params
+from .tensor_parallel import (
+    make_tp_train_step,
+    param_specs,
+    shard_params,
+    shard_train_state,
+    state_shardings,
+)
 from .distributed import host_record_shard, initialize_distributed
 
 __all__ = [
@@ -41,8 +47,11 @@ __all__ = [
     "make_halo_ep_train_step",
     "partition_graphs_halo",
     "partition_halo_batch",
+    "make_tp_train_step",
     "param_specs",
     "shard_params",
+    "shard_train_state",
+    "state_shardings",
     "host_record_shard",
     "initialize_distributed",
 ]
