@@ -94,7 +94,7 @@ def bench_packed_train_step(
     distinct_batches: bool = True,
     scatter_impl: str = "xla",
     edge_layout: str = "",
-    onehot_select: str = "vloop",
+    onehot_select: str = "auto",  # resolve_onehot_select: vloop at real vocab sizes
 ) -> BenchResult:
     if model_kind == "mp":
         cfg = melting_point_config(

@@ -78,10 +78,15 @@ class ModelConfig:
     message_impl: str = "gather"
     onehot_window: int = 128  # node window for message_impl="onehot"
     # typed-select formulation inside the onehot impl: "vloop" (V masked
-    # (E, D) @ (D, D) accumulations — no (E, V·D) intermediate; default,
-    # battery 24: 11.89 vs 13.45 ms/step f32 at batch 2048) | "lanes"
-    # (one (E, D) @ (D, V·D) matmul + one-hot reduce)
-    onehot_select: str = "vloop"
+    # (E, D) @ (D, D) accumulations — no (E, V·D) intermediate; fastest
+    # measured, battery 24: 11.89 vs 13.45 ms/step f32 at batch 2048) |
+    # "lanes" (one (E, D) @ (D, V·D) matmul + one-hot reduce) | "auto"
+    # (default): vloop while bond_vocab+1 <= ops.message.VLOOP_MAX_TYPES
+    # (33), lanes beyond — vloop's program size/compile time grow linearly
+    # with the vocab (measured 0.5 s -> 9.8 s per op from V=9 to V=257)
+    # and remote-TPU compiles cost minutes, so large vocabs take the
+    # V-independent formulation.
+    onehot_select: str = "auto"
     gru_impl: str = "reference"  # "fused" packs z|r|candidate into wider matmuls
     scatter_impl: str = "xla"  # "xla" | "pallas" (sorted-scatter TPU kernel)
     # Edge-partitioned execution (graph analogue of context parallelism):

@@ -45,7 +45,31 @@ __all__ = [
     "message_pass_aggregate",
     "message_pass_aggregate_symmetric",
     "message_pass_aggregate_onehot",
+    "resolve_onehot_select",
+    "VLOOP_MAX_TYPES",
 ]
+
+# vloop trace-unrolls one masked (E, D) @ (D, D) matmul PER BOND TYPE per
+# message step, so program size and compile time grow linearly with the
+# vocab: measured (grad of one op, CPU XLA) 0.5 s / 0.05 MB HLO at V=9 →
+# 9.8 s / 1.14 MB at V=257, ~16 such ops per train step, and remote-TPU
+# compiles already cost minutes per program (CLAUDE.md). Real bond
+# vocabularies are 6-25 types (type, conjugated, in_ring combinations);
+# above this cap the ~12% vloop step win can't justify the compile blowup
+# and "auto" falls back to the V-independent "lanes" formulation.
+VLOOP_MAX_TYPES = 33  # m_table rows (= bond vocab + 1 pad row)
+
+
+def resolve_onehot_select(select: str, num_types: int) -> str:
+    """Resolve the ``"auto"`` onehot select formulation for a vocab size.
+
+    ``"vloop"`` (fastest measured: 11.89 vs 13.45 ms/step f32 at batch
+    2048, RESULTS.md battery 24) up to :data:`VLOOP_MAX_TYPES` table rows,
+    ``"lanes"`` beyond (compile-time guard, see above).
+    """
+    if select != "auto":
+        return select
+    return "vloop" if num_types <= VLOOP_MAX_TYPES else "lanes"
 
 
 def bond_type_matrices(bond_embed_table: jnp.ndarray, bond_transform: jnp.ndarray) -> jnp.ndarray:
@@ -231,7 +255,8 @@ def message_pass_aggregate_onehot(
     edge_mask: jnp.ndarray,  # (nw·T,) bool
     window: int = 128,
     halo: bool = True,
-    select: str = "lanes",  # "lanes" | "vloop" (A/B probe, same math)
+    select: str = "lanes",  # "lanes" | "vloop" | "auto" (same math; see
+    #                          resolve_onehot_select for the auto rule)
 ) -> jnp.ndarray:
     """All-MXU message + aggregate: zero gathers, zero scatters.
 
@@ -280,6 +305,8 @@ def message_pass_aggregate_onehot(
     )
     T = E // nw
     dtype = node_states.dtype
+
+    select = resolve_onehot_select(select, V)
 
     w_of = jnp.arange(E, dtype=jnp.int32) // T
     maskf = edge_mask.reshape(nw, T)

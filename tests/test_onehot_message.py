@@ -362,3 +362,43 @@ def test_onehot_vloop_select_matches_lanes(data, plan_a):
                                       halo=False, select="vloop")
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_resolve_onehot_select_guard():
+    """vloop auto-falls back to lanes above the compile-cost cap
+    (measured: vloop program size/compile time grow linearly with the
+    bond vocab — 0.5 s -> 9.8 s per grad-op from V=9 to V=257)."""
+    from ionic_mpnn_tpu.ops.message import VLOOP_MAX_TYPES, resolve_onehot_select
+
+    assert resolve_onehot_select("auto", 9) == "vloop"
+    assert resolve_onehot_select("auto", VLOOP_MAX_TYPES) == "vloop"
+    assert resolve_onehot_select("auto", VLOOP_MAX_TYPES + 1) == "lanes"
+    assert resolve_onehot_select("auto", 257) == "lanes"
+    # explicit choices always win
+    assert resolve_onehot_select("vloop", 257) == "vloop"
+    assert resolve_onehot_select("lanes", 9) == "lanes"
+
+
+def test_large_vocab_onehot_builds_and_matches(data, plans):
+    """A large-V model (above the vloop cap) builds without unrolled
+    per-type matmuls and stays numerically exact vs the gather path."""
+    records, vocab = data
+    _, plan_w = plans
+    g = next(iter_batches(records, plan_w)).cation
+    V = 257  # > VLOOP_MAX_TYPES -> auto resolves to lanes
+    rng = np.random.default_rng(4)
+    h = jnp.asarray(rng.normal(size=(g.node_capacity, 32)).astype(np.float32))
+    m_table = jnp.asarray(rng.normal(size=(V, 32, 32)).astype(np.float32) * 0.1)
+    bond_ids = jnp.asarray(
+        np.where(np.asarray(g.edge_mask),
+                 np.asarray(g.bond_ids) % (V - 1) + 1, 0).astype(np.int32)
+    )
+    ref = message_pass_aggregate(
+        h, bond_ids, jnp.asarray(g.src), jnp.asarray(g.dst), m_table,
+        jnp.asarray(g.edge_mask),
+    )
+    out = message_pass_aggregate_onehot(
+        h, bond_ids, jnp.asarray(g.src), jnp.asarray(g.dst), m_table,
+        jnp.asarray(g.edge_mask), window=plan_w.window, select="auto",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
