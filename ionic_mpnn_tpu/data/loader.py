@@ -45,6 +45,10 @@ class BatchPlan:
     edge_layout: str = "sorted"
     edge_tile: int = 0
     window: int = ONEHOT_WINDOW
+    # device-grid sweeps only: fixed node pitch for the closed-form aligned
+    # placement (ops/grid_pack.py::pack_side_on_device(pitch=...)); host
+    # packing uses greedy node_align instead and ignores this
+    pitch: int = 0
 
     @property
     def node_align(self) -> int:

@@ -147,15 +147,17 @@ class ScreeningEngine:
     ):
         self.model = model
         self.vocab = vocab
-        if plan.edge_layout == "window_aligned":
-            # screening normalizes to the halo "window" layout: the device
-            # grid packer computes node offsets with a closed-form cumsum,
-            # which cannot express alignment gaps (sequential), and the
-            # onehot op reads the layout from the batch tag either way.
-            # The aligned plan's edge_tile lacks the 2x-max-molecule
-            # straddler headroom halo tiling needs — reset it so the
-            # chemical-degree bound (_edge_tile) / per-sweep pool bound
-            # apply instead.
+        self._aligned_requested = plan.edge_layout == "window_aligned"
+        if self._aligned_requested:
+            # HOST-packed batches (screen_pairs / host grid fallback)
+            # normalize to the halo "window" layout: a fixed-B candidate
+            # batch can overflow node capacity under greedy node_align
+            # gaps (the training loader closes batches early instead —
+            # not an option here), and the aligned plan's edge_tile lacks
+            # the straddler headroom halo tiling needs. DEVICE grid
+            # sweeps re-derive the aligned layout with closed-form
+            # fixed-PITCH placement (ops/grid_pack.py::pool_pitch) in
+            # screen_grid, so the production brute path runs halo-free.
             import dataclasses
 
             plan = dataclasses.replace(plan, edge_layout="window",
@@ -464,7 +466,26 @@ class ScreeningEngine:
         layout = self.plan.edge_layout
         window = self.plan.window
         edge_tile = 0
+        pitch = 0
         node_mult = 128
+        node_cap = None
+        if self._aligned_requested and device_pack:
+            # device sweeps CAN run the aligned (halo-free) layout: fixed
+            # node pitch makes the aligned offsets closed-form (the greedy
+            # host alignment is inherently sequential), so batches still
+            # build from one scalar. Tile = (window/pitch) slots × largest
+            # ion's edges; src context shrinks 3× vs the halo layout.
+            from .ops.grid_pack import pool_aligned_tile_bound, pool_pitch
+
+            a_all = np.concatenate([cat_pool.a_len, an_pool.a_len])
+            e_all = dup * np.concatenate([cat_pool.e_len, an_pool.e_len])
+            pitch = pool_pitch(a_all, window)
+            if (B * pitch) % window == 0:
+                layout = "window_aligned"
+                edge_tile = pool_aligned_tile_bound(e_all, window, pitch)
+                node_cap = B * pitch  # exact: pack_side_on_device contract
+            else:  # tiny batches: fall back to the halo layout
+                pitch = 0
         if layout == "window":
             from .ops.grid_pack import pool_window_tile_bound
 
@@ -477,10 +498,12 @@ class ScreeningEngine:
                     f"({int(a_all.max())} atoms) — locality contract broken"
                 )
             edge_tile = pool_window_tile_bound(a_all, e_all, window)
+        if node_cap is None:
+            node_cap = round_up(max(_batch_max(cat_pool.a_len[ci_all]),
+                                    _batch_max(an_pool.a_len[ai_all])), node_mult)
         plan = BatchPlan(
             batch_size=B,
-            node_cap=round_up(max(_batch_max(cat_pool.a_len[ci_all]),
-                                  _batch_max(an_pool.a_len[ai_all])), node_mult),
+            node_cap=node_cap,
             edge_cap=round_up(dup * max(_batch_max(cat_pool.e_len[ci_all]),
                                         _batch_max(an_pool.e_len[ai_all])), 128),
             duplicate_edges=self.plan.duplicate_edges,
@@ -489,6 +512,7 @@ class ScreeningEngine:
             edge_layout=layout,
             edge_tile=edge_tile,
             window=window,
+            pitch=pitch,
         )
         del gids, ci_all, ai_all
         k_batch = int(min(top_k, B))
@@ -888,7 +912,7 @@ class ScreeningEngine:
                 duplicate_edges=plan.duplicate_edges,
                 with_temperature=plan.with_temperature,
                 edge_layout=plan.edge_layout, edge_tile=plan.edge_tile,
-                window=plan.window,
+                window=plan.window, pitch=plan.pitch,
             )
             pred = self._fwd(v, batch)
             score = jnp.where(

@@ -50,6 +50,8 @@ __all__ = [
     "grid_batch_on_device",
     "window_tile_on_device",
     "pool_window_tile_bound",
+    "pool_pitch",
+    "pool_aligned_tile_bound",
 ]
 
 
@@ -152,6 +154,7 @@ def pack_side_on_device(
     node_cap: int,
     edge_cap: int,
     duplicate_edges: bool = False,
+    pitch: int = 0,
 ) -> PackedGraphs:
     """Pack ``pool[sel[i]]`` for i in 0..B-1 into one fixed-capacity batch,
     entirely with static-shaped device ops (jit/scan-safe).
@@ -162,6 +165,15 @@ def pack_side_on_device(
     dst-sorts); only pad-edge placement differs (tail here, interleaved
     there — masked either way). ``duplicate_edges`` must match the flag
     the pool was built with (duplication happens at pool build).
+
+    ``pitch > 0`` switches to FIXED-PITCH placement: molecule ``i`` starts
+    at node ``i·pitch`` (gap rows masked). With ``pitch`` a divisor of the
+    onehot window and ≥ every pool molecule (:func:`pool_pitch`), no
+    molecule ever straddles a window boundary — the closed-form device
+    analogue of the host packer's greedy ``node_align`` placement (the
+    greedy recurrence is inherently sequential; constant pitch keeps the
+    offsets data-independent, which is what lets the whole batch build
+    from one scalar). Requires ``node_cap == B·pitch``.
     """
     B = int(sel.shape[0])
     sel = sel.astype(jnp.int32)
@@ -172,15 +184,29 @@ def pack_side_on_device(
             "baked into the pool at build time"
         )
 
-    # ---- nodes: prefix-dense layout ------------------------------------
+    # ---- nodes ---------------------------------------------------------
     lens = pool.a_len[sel]  # (B,)
-    off = _prefix_offsets(lens)  # (B+1,)
-    total = off[B]
     i = jnp.arange(node_cap, dtype=jnp.int32)
-    g = _slot_to_graph(off, node_cap)  # [0..B]
-    valid = i < total
-    gc = jnp.clip(g, 0, B - 1)
-    local = jnp.clip(i - off[gc], 0, None)
+    if pitch > 0:
+        # fixed-pitch placement: offsets are data-independent
+        if node_cap != B * pitch:
+            raise ValueError(
+                f"pitch packing needs node_cap == B*pitch "
+                f"({node_cap} != {B}*{pitch})"
+            )
+        off = jnp.arange(B + 1, dtype=jnp.int32) * pitch
+        total = off[B]  # == node_cap; pad edges collapse onto the last row
+        gc = jnp.clip(i // pitch, 0, B - 1)
+        local = i - gc * pitch
+        valid = local < lens[gc]
+    else:
+        # prefix-dense layout
+        off = _prefix_offsets(lens)  # (B+1,)
+        total = off[B]
+        g = _slot_to_graph(off, node_cap)  # [0..B]
+        valid = i < total
+        gc = jnp.clip(g, 0, B - 1)
+        local = jnp.clip(i - off[gc], 0, None)
     a_idx = jnp.clip(pool.a_start[sel[gc]] + local, 0, pool.atoms.shape[0] - 1)
     atom_ids = jnp.where(valid, pool.atoms[a_idx] + 1, 0).astype(jnp.int32)
     node_graph = jnp.where(valid, gc, 0).astype(jnp.int32)
@@ -226,7 +252,7 @@ def pack_side_on_device(
 
 
 def window_tile_on_device(
-    g: PackedGraphs, tile: int, window: int = 128
+    g: PackedGraphs, tile: int, window: int = 128, aligned: bool = False
 ) -> PackedGraphs:
     """Device analogue of :func:`data.packing.window_tile_edges` — re-lay a
     dst-sorted packed batch into fixed per-window edge tiles so
@@ -286,7 +312,10 @@ def window_tile_on_device(
         node_mask=g.node_mask,
         edge_mask=valid,
         n_graphs=g.n_graphs,
-        edge_layout="window",
+        # aligned: the caller guarantees no molecule straddles a window
+        # (fixed-pitch placement with pitch | window and pitch >= every
+        # molecule) — the onehot op then runs halo-free
+        edge_layout="window_aligned" if aligned else "window",
     )
 
 
@@ -309,6 +338,34 @@ def pool_window_tile_bound(
     return ((tile + multiple - 1) // multiple) * multiple
 
 
+def pool_pitch(a_lens, window: int = 128) -> int:
+    """Fixed node pitch for aligned device packing: the smallest
+    power-of-two ≥ every pool molecule (so it divides ``window``).
+    Raises if any ion exceeds the window (locality contract)."""
+    m = int(np.asarray(a_lens, np.int64).max(initial=1))
+    if m > window:
+        raise ValueError(
+            f"largest ion ({m} atoms) exceeds the onehot window ({window}) "
+            f"— aligned layout impossible"
+        )
+    pitch = 1
+    while pitch < m:
+        pitch *= 2
+    return pitch
+
+
+def pool_aligned_tile_bound(
+    e_lens, window: int = 128, pitch: int = 128, multiple: int = 8
+) -> int:
+    """Per-window edge-tile bound for PITCH-placed aligned batches: a
+    window holds exactly ``window // pitch`` molecule slots, each bounded
+    by the pool's largest edge count (``e_lens`` post-duplication)."""
+    e = np.asarray(e_lens, np.int64)
+    emax = int(e.max(initial=0))
+    tile = max((window // pitch) * emax, 1)
+    return ((tile + multiple - 1) // multiple) * multiple
+
+
 def grid_batch_on_device(
     cat_pool: DevicePool,
     an_pool: DevicePool,
@@ -326,6 +383,7 @@ def grid_batch_on_device(
     edge_layout: str = "sorted",
     edge_tile: int = 0,
     window: int = 128,
+    pitch: int = 0,
 ) -> IonPairBatch:
     """Materialize candidates ``[g0, g0+B)`` of the cation-fastest grid
     enumeration as a full :class:`IonPairBatch`, on device, from the
@@ -335,6 +393,13 @@ def grid_batch_on_device(
     edge tiles of ``edge_tile`` slots (:func:`window_tile_on_device`) for
     ``message_impl="onehot"`` — size ``edge_tile`` with
     :func:`pool_window_tile_bound`.
+
+    With ``edge_layout="window_aligned"`` (requires ``pitch`` from
+    :func:`pool_pitch` and ``node_cap == batch_size·pitch``) nodes are
+    placed at fixed pitch so no molecule straddles a window, and tiles
+    are sized by :func:`pool_aligned_tile_bound` — the onehot message
+    path then runs HALO-FREE (src context 3× narrower), the device
+    analogue of the host packer's ``node_align`` contract.
 
     Enumeration order matches ``ScreeningEngine.screen_grid``:
     ``gid = ti * (C*A) + ai * C + ci`` (cation index cycles fastest so
@@ -350,14 +415,22 @@ def grid_batch_on_device(
     ci = safe % C
     ai = (safe // C) % A
     ti = safe // (C * A)
-    cation = pack_side_on_device(cat_pool, ci, node_cap, edge_cap, duplicate_edges)
-    anion = pack_side_on_device(an_pool, ai, node_cap, edge_cap, duplicate_edges)
-    if edge_layout == "window":
+    aligned = edge_layout == "window_aligned"
+    if aligned and pitch <= 0:
+        raise ValueError("edge_layout='window_aligned' needs pitch > 0 "
+                         "(use pool_pitch)")
+    use_pitch = pitch if aligned else 0
+    cation = pack_side_on_device(cat_pool, ci, node_cap, edge_cap,
+                                 duplicate_edges, pitch=use_pitch)
+    anion = pack_side_on_device(an_pool, ai, node_cap, edge_cap,
+                                duplicate_edges, pitch=use_pitch)
+    if edge_layout in ("window", "window_aligned"):
         if edge_tile <= 0:
-            raise ValueError("edge_layout='window' needs edge_tile > 0 "
-                             "(use pool_window_tile_bound)")
-        cation = window_tile_on_device(cation, edge_tile, window)
-        anion = window_tile_on_device(anion, edge_tile, window)
+            raise ValueError(f"edge_layout={edge_layout!r} needs edge_tile > 0 "
+                             "(use pool_window_tile_bound / "
+                             "pool_aligned_tile_bound)")
+        cation = window_tile_on_device(cation, edge_tile, window, aligned)
+        anion = window_tile_on_device(anion, edge_tile, window, aligned)
     temperature = jnp.zeros((B, 1), jnp.float32)
     if with_temperature:
         temperature = jnp.where(in_range[:, None], temps[ti][:, None], 0.0)
