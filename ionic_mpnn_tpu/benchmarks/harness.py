@@ -95,28 +95,28 @@ def bench_packed_train_step(
     scatter_impl: str = "xla",
     edge_layout: str = "",
     onehot_select: str = "auto",  # resolve_onehot_select: vloop at real vocab sizes
+    window: int = 0,  # onehot node window (0 = ONEHOT_WINDOW default)
 ) -> BenchResult:
+    from ..data.packing import ONEHOT_WINDOW
+
+    window = window or ONEHOT_WINDOW
+    kw = dict(
+        num_steps=num_steps, compute_dtype=compute_dtype,
+        message_impl=message_impl, gru_impl=gru_impl,
+        scatter_impl=scatter_impl, onehot_select=onehot_select,
+        onehot_window=window,
+    )
     if model_kind == "mp":
-        cfg = melting_point_config(
-            vocab.atom_vocab_size, vocab.bond_vocab_size,
-            num_steps=num_steps, compute_dtype=compute_dtype,
-            message_impl=message_impl, gru_impl=gru_impl,
-            scatter_impl=scatter_impl, onehot_select=onehot_select,
-        )
+        cfg = melting_point_config(vocab.atom_vocab_size, vocab.bond_vocab_size, **kw)
     else:
-        cfg = viscosity_config(
-            vocab.atom_vocab_size, vocab.bond_vocab_size,
-            num_steps=num_steps, compute_dtype=compute_dtype,
-            message_impl=message_impl, gru_impl=gru_impl,
-            scatter_impl=scatter_impl, onehot_select=onehot_select,
-        )
+        cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size, **kw)
     tcfg = TrainConfig()
     if not edge_layout:
         from ..config import edge_layout_for
 
         edge_layout = edge_layout_for(message_impl)
     plan = plan_capacities(records, batch_size=batch_size,
-                           edge_layout=edge_layout)
+                           edge_layout=edge_layout, window=window)
     batch = next(iter_batches(records[:batch_size], plan))
     batch = jax.tree.map(jnp.asarray, batch)
     if inner > 1 and distinct_batches:

@@ -104,6 +104,12 @@ def native_available() -> bool:
     return get_packer_lib() is not None
 
 
+def _as_u8(mask: np.ndarray) -> np.ndarray:
+    """View a bool mask as uint8 in place (same memory, no copy) for the
+    C ABI; uint8 arrays pass through."""
+    return mask.view(np.uint8) if mask.dtype == np.bool_ else mask
+
+
 def pack_graphs_native(
     atom_ids_flat: np.ndarray,
     atom_off: np.ndarray,
@@ -185,22 +191,35 @@ def pack_graphs_indexed_native(
     node_cap: int, edge_cap: int,
     duplicate_edges: bool = False, sort_by_dst: bool = True,
     node_align: int = 0,
+    out=None,
 ):
     """C++ packing of molecules ``sel`` gathered directly from the
     whole-dataset flat pools — shuffling an epoch permutes only the size
     arrays, never the dataset. Same output contract as
-    :func:`pack_graphs_native` on the selected molecule sequence."""
+    :func:`pack_graphs_native` on the selected molecule sequence.
+
+    ``out``: optional 8-tuple of caller-owned destination arrays
+    (atom_ids i32[node_cap], bond_ids/src/dst i32[edge_cap], node_graph/
+    node_local i32[node_cap], node_mask bool[node_cap], edge_mask
+    bool[edge_cap]) — e.g. rows of pre-stacked (K, cap) group buffers, so
+    scan-group assembly needs no np.stack pass. Masks may be bool or
+    uint8 (bool arrays are viewed as uint8 in place).
+    """
     lib = get_packer_lib()
     if lib is None:
         raise RuntimeError("native packer unavailable (no g++?)")
-    atom_ids = np.empty(node_cap, np.int32)
-    bond_ids = np.empty(edge_cap, np.int32)
-    src = np.empty(edge_cap, np.int32)
-    dst = np.empty(edge_cap, np.int32)
-    node_graph = np.empty(node_cap, np.int32)
-    node_local = np.empty(node_cap, np.int32)
-    node_mask = np.empty(node_cap, np.uint8)
-    edge_mask = np.empty(edge_cap, np.uint8)
+    if out is None:
+        atom_ids = np.empty(node_cap, np.int32)
+        bond_ids = np.empty(edge_cap, np.int32)
+        src = np.empty(edge_cap, np.int32)
+        dst = np.empty(edge_cap, np.int32)
+        node_graph = np.empty(node_cap, np.int32)
+        node_local = np.empty(node_cap, np.int32)
+        node_mask = np.empty(node_cap, bool)
+        edge_mask = np.empty(edge_cap, bool)
+    else:
+        (atom_ids, bond_ids, src, dst, node_graph, node_local,
+         node_mask, edge_mask) = out
     sel = np.ascontiguousarray(sel, np.int32)
     rc = lib.pack_graphs_indexed(
         np.ascontiguousarray(atoms_pool, np.int32),
@@ -211,7 +230,7 @@ def pack_graphs_indexed_native(
         sel, len(sel), node_cap, edge_cap,
         int(duplicate_edges), int(sort_by_dst), int(node_align),
         atom_ids, bond_ids, src, dst, node_graph, node_local,
-        node_mask, edge_mask,
+        _as_u8(node_mask), _as_u8(edge_mask),
     )
     if rc == -1:
         raise ValueError(f"node capacity {node_cap} exceeded")
@@ -220,33 +239,41 @@ def pack_graphs_indexed_native(
     if rc != 0:
         raise ValueError(f"native packer error {rc}")
     return (atom_ids, bond_ids, src, dst, node_graph, node_local,
-            node_mask.astype(bool), edge_mask.astype(bool))
+            node_mask, edge_mask)
 
 
 def window_tile_native(
     src: np.ndarray, dst: np.ndarray, bond_ids: np.ndarray,
     edge_mask: np.ndarray, node_cap: int, window: int, tile: int,
     aligned: bool = False,
+    out=None,
 ):
     """C++ window tiling of a dst-sorted packed edge list (mirror of
     ``data.packing.window_tile_edges``, same capacity/locality errors).
-    Returns (src, dst, bond_ids, edge_mask) with ``nw*tile`` slots."""
+    Returns (src, dst, bond_ids, edge_mask) with ``nw*tile`` slots.
+    ``out``: optional (src, dst, bond_ids, edge_mask[bool]) destination
+    arrays (e.g. group-buffer rows)."""
     lib = get_packer_lib()
     if lib is None:
         raise RuntimeError("native packer unavailable (no g++?)")
     nw = node_cap // window
     e2 = nw * tile
-    src_o = np.empty(e2, np.int32)
-    dst_o = np.empty(e2, np.int32)
-    bond_o = np.empty(e2, np.int32)
-    mask_o = np.empty(e2, np.uint8)
+    if out is None:
+        src_o = np.empty(e2, np.int32)
+        dst_o = np.empty(e2, np.int32)
+        bond_o = np.empty(e2, np.int32)
+        mask_o = np.empty(e2, bool)
+    else:
+        src_o, dst_o, bond_o, mask_o = out
+    em = edge_mask if edge_mask.dtype in (np.bool_, np.uint8) else \
+        np.ascontiguousarray(edge_mask, np.uint8)
     rc = lib.window_tile(
         np.ascontiguousarray(src, np.int32),
         np.ascontiguousarray(dst, np.int32),
         np.ascontiguousarray(bond_ids, np.int32),
-        np.ascontiguousarray(edge_mask, np.uint8),
+        _as_u8(np.ascontiguousarray(em)),
         len(src), node_cap, window, tile, int(aligned),
-        src_o, dst_o, bond_o, mask_o,
+        src_o, dst_o, bond_o, _as_u8(mask_o),
     )
     if rc == -4:
         raise ValueError(
@@ -260,4 +287,4 @@ def window_tile_native(
         )
     if rc != 0:
         raise ValueError(f"native window_tile error {rc}")
-    return src_o, dst_o, bond_o, mask_o.astype(bool)
+    return src_o, dst_o, bond_o, mask_o

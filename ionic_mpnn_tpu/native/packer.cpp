@@ -208,10 +208,16 @@ int pack_graphs_indexed(
     dst_out[e_count + k] = spread;
   }
   if (sort_by_dst && edge_cap > 1) {
+    // Stable COUNTING sort by dst (values < node_cap): O(E + N) vs the
+    // previous std::stable_sort's O(E log E) — the sort was the dominant
+    // per-batch cost at production edge counts. Stability (equal dst
+    // keeps input order) matches the Python packer's stable argsort, so
+    // outputs stay bit-identical.
+    std::vector<int32_t> pos(node_cap + 1, 0);
+    for (int64_t i = 0; i < edge_cap; ++i) ++pos[dst_out[i] + 1];
+    for (int32_t v = 0; v < node_cap; ++v) pos[v + 1] += pos[v];
     std::vector<int32_t> order(edge_cap);
-    std::iota(order.begin(), order.end(), 0);
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int32_t a, int32_t b) { return dst_out[a] < dst_out[b]; });
+    for (int64_t i = 0; i < edge_cap; ++i) order[pos[dst_out[i]]++] = i;
     std::vector<int32_t> tmp(edge_cap);
     auto permute = [&](int32_t* arr) {
       for (int64_t i = 0; i < edge_cap; ++i) tmp[i] = arr[order[i]];

@@ -263,6 +263,8 @@ def fit(
     # rivals the TPU step time at scale.
     train_iter = iter_batches
     train_source: Any = train_records
+    dev_iter = iter_batches
+    dev_source: Any = dev_records
     if train_cfg.use_native_loader:
         from .. import native
 
@@ -273,6 +275,14 @@ def fit(
             train_source = ColumnarIonPairs.from_records(
                 train_records, target_key=plan.target_key
             )
+            dev_iter = iter_batches_fast
+            dev_source = ColumnarIonPairs.from_records(
+                dev_records, target_key=plan.target_key
+            )
+    # The dev split never shuffles, so its packed batches are identical
+    # every epoch — pack ONCE and reuse (per-epoch Python re-packing of
+    # the dev split rivaled the whole train-epoch host cost at scale).
+    dev_batches = list(dev_iter(dev_source, plan, shuffle=False))
 
     rng = jax.random.PRNGKey(train_cfg.seed)
     init_rng, state_rng = jax.random.split(rng)
@@ -328,6 +338,7 @@ def fit(
             aligned=plan.edge_layout == "window_aligned",
         )
     group_size = n_dev * K
+    group_epoch_runner = None  # set by the native single-device K>1 path
 
     if n_dev > 1:
         from ..parallel.data_parallel import (
@@ -364,6 +375,24 @@ def fit(
             stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
             state, m = scan_step(state, stacked)
             return state, m["loss_sum"] / jnp.maximum(m["n"], 1.0)
+
+        # Native group mode: the C++ packer writes each batch straight
+        # into rows of pre-stacked (K, ...) buffers, skipping both the
+        # per-batch np.stack pass and the per-batch mask-sum bookkeeping.
+        if train_iter is not iter_batches:
+            from ..data.columnar import iter_batch_groups_fast
+
+            def native_group_epoch(state, epoch, losses, ns):
+                for stacked, n_real in iter_batch_groups_fast(
+                    train_source, plan, K, shuffle=True,
+                    seed=train_cfg.seed + epoch,
+                ):
+                    state, m = scan_step(state, stacked)
+                    losses.append(m["loss_sum"] / jnp.maximum(m["n"], 1.0))
+                    ns.append(n_real)
+                return state
+
+            group_epoch_runner = native_group_epoch
     else:
         single_step = make_train_step(model, model_cfg, train_cfg, optimizer, has_bs)
 
@@ -447,28 +476,31 @@ def fit(
             epochs_run = epoch
             t0 = time.time()
             losses, ns = [], []
-            group: List[Any] = []
+            if group_epoch_runner is not None:
+                state = group_epoch_runner(state, epoch, losses, ns)
+            else:
+                group: List[Any] = []
 
-            def _run_group(g):
-                nonlocal state
-                n_real = sum(float(np.asarray(b.sample_mask).sum()) for b in g)
-                state, loss = train_step(state, g)
-                losses.append(loss)
-                ns.append(n_real)
+                def _run_group(g):
+                    nonlocal state
+                    n_real = sum(float(np.asarray(b.sample_mask).sum()) for b in g)
+                    state, loss = train_step(state, g)
+                    losses.append(loss)
+                    ns.append(n_real)
 
-            for batch in train_iter(train_source, plan, shuffle=True,
-                                    seed=train_cfg.seed + epoch):
-                group.append(batch)
-                if len(group) == group_size:
+                for batch in train_iter(train_source, plan, shuffle=True,
+                                        seed=train_cfg.seed + epoch):
+                    group.append(batch)
+                    if len(group) == group_size:
+                        _run_group(group)
+                        group = []
+                if group:
                     _run_group(group)
-                    group = []
-            if group:
-                _run_group(group)
             w = np.asarray(ns)
             train_loss = float(np.average(np.asarray(jax.device_get(losses)), weights=w))
 
             val_sum, val_n, reg = 0.0, 0.0, 0.0
-            for batch in iter_batches(dev_records, plan, shuffle=False):
+            for batch in dev_batches:
                 out = jax.device_get(eval_step(state.params, state.batch_stats, batch))
                 val_sum += float(out["loss_sum"])
                 val_n += float(out["n"])
