@@ -151,6 +151,7 @@ def main():
             impl = "pallas_step"
         layout = ""
         onehot_select = "lanes"
+        window = 0
         for opt in parts[1:]:
             if opt == "vloop":
                 onehot_select = "vloop"
@@ -162,13 +163,15 @@ def main():
                 scatter = "pallas"
             elif opt == "aligned":
                 layout = "window_aligned"
+            elif opt.startswith("w") and opt[1:].isdigit():
+                window = int(opt[1:])  # onehot node window, e.g. w64
             else:
                 raise SystemExit(f"unknown step option {opt}")
         r = bench_packed_train_step(records, vocab, batch_size=bs, iters=30,
                                     warmup=5, inner=8, message_impl=impl,
                                     gru_impl=gru, scatter_impl=scatter,
                                     compute_dtype=dtype, edge_layout=layout,
-                                    onehot_select=onehot_select)
+                                    onehot_select=onehot_select, window=window)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,

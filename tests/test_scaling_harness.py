@@ -11,9 +11,23 @@ def test_scaling_harness_runs():
     out = run_scaling_benchmark(per_device_batch=8, num_steps=1, iters=2, warmup=1,
                                 device_counts=[1, 2])
     rows = out["weak_scaling"]
+    assert out["mode"] == "dp"
     assert [r["devices"] for r in rows] == [1, 2]
     assert rows[0]["scaling_efficiency"] == 1.0
     assert all(r["edges_per_s"] > 0 for r in rows)
+
+
+@pytest.mark.multidevice
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["dp_onehot", "aligned_ep"])
+def test_scaling_harness_production_modes(mode):
+    out = run_scaling_benchmark(per_device_batch=8, num_steps=1, iters=2,
+                                warmup=1, device_counts=[1, 2], mode=mode)
+    key = "strong_scaling" if mode == "aligned_ep" else "weak_scaling"
+    rows = out[key]
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert all(r["edges_per_s"] > 0 for r in rows)
+    assert rows[0]["scaling_efficiency"] == 1.0
 
 
 def test_roofline_model():
