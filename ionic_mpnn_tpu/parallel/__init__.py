@@ -18,6 +18,7 @@ from .aligned_partition import (
     make_aligned_ep_train_step,
     shard_aligned_batch,
     shard_graphs_aligned,
+    stack_aligned_dp_batches,
 )
 from .tensor_parallel import (
     make_tp_train_step,
@@ -44,6 +45,7 @@ __all__ = [
     "make_aligned_ep_train_step",
     "shard_aligned_batch",
     "shard_graphs_aligned",
+    "stack_aligned_dp_batches",
     "make_halo_ep_train_step",
     "partition_graphs_halo",
     "partition_halo_batch",

@@ -62,6 +62,7 @@ from ..data.packing import GraphCapacityError, IonPairBatch, PackedGraphs
 __all__ = [
     "shard_graphs_aligned",
     "shard_aligned_batch",
+    "stack_aligned_dp_batches",
     "make_aligned_ep_train_step",
 ]
 
@@ -135,15 +136,34 @@ def shard_aligned_batch(
     )
 
 
-def _squeeze_graphs(g: PackedGraphs) -> PackedGraphs:
-    """Strip the shard_map-sharded leading axis (size 1 inside the body)."""
-    return g.replace(**{f: getattr(g, f)[0] for f in _GRAPH_FIELDS})
+def stack_aligned_dp_batches(
+    batches, n_shards: int, window: int = 128
+) -> IonPairBatch:
+    """Stack per-DP-group aligned-sharded batches: graph leaves become
+    ``(n_dp, S, ...)``, batch-level leaves ``(n_dp, ...)`` — the input of
+    the DP×EP composed step (``make_aligned_ep_train_step(dp_axis=...)``)."""
+    sharded = [shard_aligned_batch(b, n_shards, window) for b in batches]
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *sharded)
 
 
-def _batch_specs(batch: IonPairBatch, axis: str) -> IonPairBatch:
+def _squeeze_graphs(g: PackedGraphs, ndim: int = 1) -> PackedGraphs:
+    """Strip the shard_map-sharded leading axes (size 1 inside the body)."""
+
+    def sq(x):
+        for _ in range(ndim):
+            x = x[0]
+        return x
+
+    return g.replace(**{f: sq(getattr(g, f)) for f in _GRAPH_FIELDS})
+
+
+def _batch_specs(batch: IonPairBatch, axis: str, dp_axis: str | None) -> IonPairBatch:
     def spec_for(path, _leaf):
         names = [getattr(p, "name", "") for p in path]
-        return P(axis) if names and names[-1] in _GRAPH_FIELDS else P()
+        graph = names and names[-1] in _GRAPH_FIELDS
+        if dp_axis is None:
+            return P(axis) if graph else P()
+        return P(dp_axis, axis) if graph else P(dp_axis)
 
     return jax.tree_util.tree_map_with_path(spec_for, batch)
 
@@ -155,6 +175,7 @@ def make_aligned_ep_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     axis: str = "data",
+    dp_axis: str | None = None,
 ):
     """Full aligned-EP training step over the production onehot path.
 
@@ -162,6 +183,13 @@ def make_aligned_ep_train_step(
     + the loss/grad psums — NOTHING per message step and nothing
     node-axis-sized (asserted from compiled HLO in tests/test_ep_train.py).
     Input batches come from :func:`shard_aligned_batch`.
+
+    ``dp_axis`` composes DP×EP on a 2-D mesh ``(dp_axis, axis)``: each DP
+    group holds one aligned-sharded batch (input from
+    :func:`stack_aligned_dp_batches`), the loss is sample-weighted across
+    groups exactly like the plain DP step, and gradients all-reduce over
+    both axes (``psum_ep(local)/S`` for EP exactness, then ``psum_dp``
+    of the already-globally-weighted per-group gradients).
     """
     assert model_cfg.ep_axis == axis, (
         f"ModelConfig.ep_axis={model_cfg.ep_axis!r} must equal mesh axis {axis!r}"
@@ -174,28 +202,48 @@ def make_aligned_ep_train_step(
 
     loss_kind, delta, l2 = train_cfg.loss, train_cfg.huber_delta, model_cfg.fp_l2
     n_shards = mesh.shape[axis]
+    n_dp = mesh.shape[dp_axis] if dp_axis is not None else 1
+    lead = 2 if dp_axis is not None else 1
 
     def per_device(state: TrainState, batch: IonPairBatch):
         local = batch.replace(
-            cation=_squeeze_graphs(batch.cation),
-            anion=_squeeze_graphs(batch.anion),
+            cation=_squeeze_graphs(batch.cation, lead),
+            anion=_squeeze_graphs(batch.anion, lead),
+            temperature=batch.temperature[0] if dp_axis else batch.temperature,
+            y=batch.y[0] if dp_axis else batch.y,
+            sample_mask=batch.sample_mask[0] if dp_axis else batch.sample_mask,
         )
         rng, dropout_rng = jax.random.split(state.rng)
 
         def loss_fn(params):
             out = model.apply({"params": params}, local, deterministic=False,
                               rngs={"dropout": dropout_rng})
-            # pred is replicated (everything after the pooled psums is
-            # shard-invariant), so the loss is the true global loss.
-            data = _data_loss(out["pred"], local.y, local.sample_mask,
-                              loss_kind, delta)
-            return data + _l2_penalty(params, l2), data
+            # pred is replicated WITHIN an EP group (everything after the
+            # pooled psums is shard-invariant), so each group's data term
+            # is its true loss.
+            if dp_axis is None:
+                data = _data_loss(out["pred"], local.y, local.sample_mask,
+                                  loss_kind, delta)
+                return data + _l2_penalty(params, l2), data
+            # DP weighting (cf. data_parallel.py): local weighted sum /
+            # global sample count, L2 added once globally after the psum.
+            local_sum = _data_loss(out["pred"], local.y, local.sample_mask,
+                                   loss_kind, delta) * jnp.sum(local.sample_mask)
+            global_n = jax.lax.psum(jnp.sum(local.sample_mask), dp_axis)
+            data = local_sum / jnp.maximum(global_n, 1.0)
+            return data + _l2_penalty(params, l2) / n_dp, data
 
         (loss, data), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        # psum(local)/S is exact: sharded-path cotangents crossed exactly
-        # one forward psum (the pooled readout), replicated paths computed
-        # the true gradient on every shard (see module docstring).
+        # EP exactness: psum(local)/S — sharded-path cotangents crossed
+        # exactly one forward psum (the pooled readout), replicated paths
+        # computed the true per-group gradient on every shard.
         grads = jax.tree.map(lambda gr: jax.lax.psum(gr / n_shards, axis), grads)
+        if dp_axis is not None:
+            # per-group gradients are already globally sample-weighted —
+            # the DP all-reduce just sums them (and recovers the full L2).
+            grads = jax.tree.map(lambda gr: jax.lax.psum(gr, dp_axis), grads)
+            loss = jax.lax.psum(loss, dp_axis)
+            data = jax.lax.psum(data, dp_axis)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (
@@ -208,7 +256,7 @@ def make_aligned_ep_train_step(
         return shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P(), _batch_specs(batch, axis)),
+            in_specs=(P(), _batch_specs(batch, axis, dp_axis)),
             out_specs=(P(), P()),
             check_vma=False,
         )(state, batch)

@@ -342,6 +342,67 @@ def test_aligned_ep_descends(encoded_viscosity):
     assert int(state.step) == 8
 
 
+def test_aligned_ep_composes_with_dp(encoded_viscosity):
+    """DP×EP on a (2, 4) mesh == plain 2-way DP on the same two batches:
+    the production onehot path scales along BOTH axes at once."""
+    from ionic_mpnn_tpu.parallel.aligned_partition import (
+        make_aligned_ep_train_step,
+        stack_aligned_dp_batches,
+    )
+    from ionic_mpnn_tpu.parallel.data_parallel import (
+        make_dp_train_step,
+        shard_batch,
+        stack_batches,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    records = encoded_viscosity["viscosity"][:32]
+    vocab = encoded_viscosity["vocab"]
+    n_ep = 4
+    plan = plan_capacities(records, batch_size=16,
+                           edge_layout="window_aligned", node_shards=n_ep)
+    b1 = next(iter_batches(records[:16], plan))
+    b2 = next(iter_batches(records[16:], plan))
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                           num_steps=2, message_impl="onehot")
+    tcfg = TrainConfig(seed=0)
+    optimizer = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+    model = ViscosityModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), b1)
+
+    def new_state():
+        p = jax.tree.map(jnp.array, variables["params"])
+        return TrainState(step=jnp.int32(0), params=p, batch_stats={},
+                          opt_state=optimizer.init(p), rng=jax.random.PRNGKey(3))
+
+    # reference: plain 2-way DP (itself exactness-tested vs single device)
+    dp_mesh = make_mesh(MeshConfig(data_parallel=2), devices=jax.devices()[:2])
+    dp_step = make_dp_train_step(model, cfg, tcfg, optimizer, dp_mesh)
+    s_dp, m_dp = dp_step(new_state(), shard_batch(stack_batches([b1, b2]), dp_mesh))
+
+    # composed: 2 DP groups x 4 EP shards
+    mesh2d = make_mesh(MeshConfig(data_parallel=2, model_parallel=n_ep,
+                                  model_axis="ep"))
+    cfg_ep = cfg.replace(ep_axis="ep")
+    step2d = make_aligned_ep_train_step(
+        ViscosityModel(cfg_ep), cfg_ep, tcfg, optimizer, mesh2d,
+        axis="ep", dp_axis="data",
+    )
+    stacked = stack_aligned_dp_batches([b1, b2], n_ep)
+    s_2d, m_2d = step2d(new_state(), stacked)
+
+    np.testing.assert_allclose(float(m_2d["loss"]), float(m_dp["loss"]), rtol=1e-5)
+    flat_dp = dict(jax.tree_util.tree_flatten_with_path(s_dp.params)[0])
+    flat_2d = dict(jax.tree_util.tree_flatten_with_path(s_2d.params)[0])
+    assert flat_dp.keys() == flat_2d.keys()
+    for k in flat_dp:
+        np.testing.assert_allclose(
+            np.asarray(flat_2d[k]), np.asarray(flat_dp[k]),
+            rtol=2e-3, atol=3e-6, err_msg=str(k),
+        )
+
+
 def test_shard_aligned_rejects_wrong_layout(encoded_viscosity):
     from ionic_mpnn_tpu.data.packing import GraphCapacityError
     from ionic_mpnn_tpu.parallel.aligned_partition import shard_graphs_aligned
