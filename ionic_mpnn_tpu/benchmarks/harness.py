@@ -96,6 +96,7 @@ def bench_packed_train_step(
     edge_layout: str = "",
     onehot_select: str = "auto",  # resolve_onehot_select: vloop at real vocab sizes
     window: int = 0,  # onehot node window (0 = ONEHOT_WINDOW default)
+    unroll: int = 1,  # lax.scan unroll of the inner step loop
 ) -> BenchResult:
     from ..data.packing import ONEHOT_WINDOW
 
@@ -161,7 +162,7 @@ def bench_packed_train_step(
             def body(s, b):
                 s, m = inner_step(s, b)
                 return s, m["loss"]
-            state, losses = jax.lax.scan(body, state, stacked)
+            state, losses = jax.lax.scan(body, state, stacked, unroll=unroll)
             return state, losses[-1]
 
         batch = batches
@@ -170,7 +171,8 @@ def bench_packed_train_step(
             def body(s, _):
                 s, m = inner_step(s, batch)
                 return s, m["loss"]
-            state, losses = jax.lax.scan(body, state, None, length=inner)
+            state, losses = jax.lax.scan(body, state, None, length=inner,
+                                         unroll=unroll)
             return state, losses[-1]
 
     multi_fn = jax.jit(multi, donate_argnums=(0,) if donate else ())

@@ -152,6 +152,7 @@ def main():
         layout = ""
         onehot_select = "lanes"
         window = 0
+        unroll = 1
         for opt in parts[1:]:
             if opt == "vloop":
                 onehot_select = "vloop"
@@ -163,6 +164,8 @@ def main():
                 scatter = "pallas"
             elif opt == "aligned":
                 layout = "window_aligned"
+            elif opt.startswith("unroll") and opt[6:].isdigit():
+                unroll = int(opt[6:])  # scan unroll, e.g. unroll2
             elif opt.startswith("w") and opt[1:].isdigit():
                 window = int(opt[1:])  # onehot node window, e.g. w64
             else:
@@ -171,7 +174,8 @@ def main():
                                     warmup=5, inner=8, message_impl=impl,
                                     gru_impl=gru, scatter_impl=scatter,
                                     compute_dtype=dtype, edge_layout=layout,
-                                    onehot_select=onehot_select, window=window)
+                                    onehot_select=onehot_select, window=window,
+                                    unroll=unroll)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,
