@@ -97,6 +97,7 @@ def bench_packed_train_step(
     onehot_select: str = "auto",  # resolve_onehot_select: vloop at real vocab sizes
     window: int = 0,  # onehot node window (0 = ONEHOT_WINDOW default)
     unroll: int = 1,  # lax.scan unroll of the inner step loop
+    tight_tile: bool = False,  # re-plan edge_tile at the batches' true max
 ) -> BenchResult:
     from ..data.packing import ONEHOT_WINDOW
 
@@ -118,6 +119,30 @@ def bench_packed_train_step(
         edge_layout = edge_layout_for(message_impl)
     plan = plan_capacities(records, batch_size=batch_size,
                            edge_layout=edge_layout, window=window)
+    if tight_tile and plan.edge_tile:
+        # A/B probe for the tile-fill headroom: size the per-window edge
+        # tile at the OBSERVED max over this bench's batches instead of
+        # the proven worst-case bound (fill ~0.86 at bench shapes). Not a
+        # production mode — a pathological batch would raise.
+        import dataclasses
+
+        # probe the EXACT batch sequence measured below (the unshuffled
+        # warmup batch + the per-seed shuffles of the distinct-batch scan)
+        probes = [next(iter_batches(records[:batch_size], plan))]
+        if inner > 1 and distinct_batches:
+            probes += [
+                next(iter_batches(records[:batch_size], plan, shuffle=True,
+                                  seed=s))
+                for s in range(inner)
+            ]
+        worst = 0
+        for b in probes:
+            for g in (b.cation, b.anion):
+                em = np.asarray(g.edge_mask).reshape(-1, plan.edge_tile)
+                worst = max(worst, int(em.sum(axis=1).max()))
+        from ..data.packing import round_up as _ru
+
+        plan = dataclasses.replace(plan, edge_tile=_ru(max(worst, 8), 8))
     batch = next(iter_batches(records[:batch_size], plan))
     batch = jax.tree.map(jnp.asarray, batch)
     if inner > 1 and distinct_batches:

@@ -153,6 +153,7 @@ def main():
         onehot_select = "lanes"
         window = 0
         unroll = 1
+        tight_tile = False
         for opt in parts[1:]:
             if opt == "vloop":
                 onehot_select = "vloop"
@@ -164,6 +165,8 @@ def main():
                 scatter = "pallas"
             elif opt == "aligned":
                 layout = "window_aligned"
+            elif opt == "tighttile":
+                tight_tile = True
             elif opt.startswith("unroll") and opt[6:].isdigit():
                 unroll = int(opt[6:])  # scan unroll, e.g. unroll2
             elif opt.startswith("w") and opt[1:].isdigit():
@@ -175,7 +178,7 @@ def main():
                                     gru_impl=gru, scatter_impl=scatter,
                                     compute_dtype=dtype, edge_layout=layout,
                                     onehot_select=onehot_select, window=window,
-                                    unroll=unroll)
+                                    unroll=unroll, tight_tile=tight_tile)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,
