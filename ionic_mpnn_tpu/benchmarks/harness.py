@@ -98,6 +98,7 @@ def bench_packed_train_step(
     window: int = 0,  # onehot node window (0 = ONEHOT_WINDOW default)
     unroll: int = 1,  # lax.scan unroll of the inner step loop
     tight_tile: bool = False,  # re-plan edge_tile at the batches' true max
+    tile_override: int = 0,  # force edge_tile (>= plan's is always safe)
 ) -> BenchResult:
     from ..data.packing import ONEHOT_WINDOW
 
@@ -119,6 +120,12 @@ def bench_packed_train_step(
         edge_layout = edge_layout_for(message_impl)
     plan = plan_capacities(records, batch_size=batch_size,
                            edge_layout=edge_layout, window=window)
+    if tile_override and plan.edge_tile:
+        # tile-scaling probe: does step time track edge SLOTS? (premise
+        # check for window-balanced packing)
+        import dataclasses
+
+        plan = dataclasses.replace(plan, edge_tile=tile_override)
     if tight_tile and plan.edge_tile:
         # A/B probe for the tile-fill headroom: size the per-window edge
         # tile at the OBSERVED max over this bench's batches instead of

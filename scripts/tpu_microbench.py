@@ -154,6 +154,7 @@ def main():
         window = 0
         unroll = 1
         tight_tile = False
+        tile_override = 0
         for opt in parts[1:]:
             if opt == "vloop":
                 onehot_select = "vloop"
@@ -167,6 +168,8 @@ def main():
                 layout = "window_aligned"
             elif opt == "tighttile":
                 tight_tile = True
+            elif opt.startswith("tile") and opt[4:].isdigit():
+                tile_override = int(opt[4:])  # e.g. tile384 (safe: only raise it)
             elif opt.startswith("unroll") and opt[6:].isdigit():
                 unroll = int(opt[6:])  # scan unroll, e.g. unroll2
             elif opt.startswith("w") and opt[1:].isdigit():
@@ -178,7 +181,8 @@ def main():
                                     gru_impl=gru, scatter_impl=scatter,
                                     compute_dtype=dtype, edge_layout=layout,
                                     onehot_select=onehot_select, window=window,
-                                    unroll=unroll, tight_tile=tight_tile)
+                                    unroll=unroll, tight_tile=tight_tile,
+                                    tile_override=tile_override)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,
