@@ -99,6 +99,7 @@ def bench_packed_train_step(
     unroll: int = 1,  # lax.scan unroll of the inner step loop
     tight_tile: bool = False,  # re-plan edge_tile at the batches' true max
     tile_override: int = 0,  # force edge_tile (>= plan's is always safe)
+    balanced: bool = False,  # LPT window balancing (window_aligned only)
 ) -> BenchResult:
     from ..data.packing import ONEHOT_WINDOW
 
@@ -119,7 +120,8 @@ def bench_packed_train_step(
 
         edge_layout = edge_layout_for(message_impl)
     plan = plan_capacities(records, batch_size=batch_size,
-                           edge_layout=edge_layout, window=window)
+                           edge_layout=edge_layout, window=window,
+                           balance=balanced)
     if tile_override and plan.edge_tile:
         # tile-scaling probe: does step time track edge SLOTS? (premise
         # check for window-balanced packing)

@@ -78,17 +78,23 @@ class ColumnarIonPairs:
 
 
 def _pack_side(
-    side: _Side, sel: np.ndarray, plan: BatchPlan,
-    node_out=None, edge_out=None, scratch=None,
+    side: _Side, sel: np.ndarray, plan: BatchPlan, side_name: str = "cation",
+    node_out=None, edge_out=None, scratch=None, node_offsets=None,
 ) -> PackedGraphs:
-    """Pack one ion side natively. ``node_out`` (atom_ids, node_graph,
-    node_local, node_mask) and ``edge_out`` (bond_ids, src, dst,
-    edge_mask) optionally direct the outputs into caller-owned buffers
-    (group-buffer rows); for window layouts ``scratch`` holds the
-    pre-tiling edge arrays (reused across calls)."""
+    """Pack one ion side natively (capacities from
+    ``plan.side_caps(side_name)`` — the anion side is typically sized
+    much smaller). ``node_out`` (atom_ids, node_graph, node_local,
+    node_mask) and ``edge_out`` (bond_ids, src, dst, edge_mask)
+    optionally direct the outputs into caller-owned buffers (group-buffer
+    rows); for window layouts ``scratch`` holds the pre-tiling edge
+    arrays (reused across calls). ``node_offsets`` carries the balanced
+    placement when ``plan.balance`` is on."""
+    node_cap, edge_cap, edge_tile, _ = plan.side_caps(side_name)
     tiled = plan.edge_layout in ("window", "window_aligned")
     if tiled and scratch is not None:
-        pre_edges = scratch
+        # scratch is sized for the larger side; views keep the tiler's
+        # edge count correct for this side
+        pre_edges = tuple(a[:edge_cap] for a in scratch)
     elif tiled and edge_out is not None:
         pre_edges = None  # allocate below
     else:
@@ -96,21 +102,22 @@ def _pack_side(
     pack_out = None
     if node_out is not None:
         if pre_edges is None:
-            pre_edges = (np.empty(plan.edge_cap, np.int32),
-                         np.empty(plan.edge_cap, np.int32),
-                         np.empty(plan.edge_cap, np.int32),
-                         np.empty(plan.edge_cap, bool))
+            pre_edges = (np.empty(edge_cap, np.int32),
+                         np.empty(edge_cap, np.int32),
+                         np.empty(edge_cap, np.int32),
+                         np.empty(edge_cap, bool))
         bnd, sr, ds, em = pre_edges
         ai, ng, nl, nm = node_out
         pack_out = (ai, bnd, sr, ds, ng, nl, nm, em)
     arrays = native.pack_graphs_indexed_native(
         side.atoms, side.atom_off, side.bonds, side.edges, side.edge_off,
         sel,
-        plan.node_cap,
-        plan.edge_cap,
+        node_cap,
+        edge_cap,
         duplicate_edges=plan.duplicate_edges,
         node_align=plan.node_align,
         out=pack_out,
+        node_offsets=node_offsets,
     )
     atom_ids, bond_ids, src, dst, node_graph, node_local, node_mask, edge_mask = arrays
     layout = "sorted"
@@ -127,7 +134,7 @@ def _pack_side(
             tile_out = (sr_o, ds_o, bnd_o, em_o)
         src, dst, bond_ids, edge_mask = native.window_tile_native(
             src, dst, bond_ids, edge_mask,
-            plan.node_cap, plan.window, plan.edge_tile,
+            node_cap, plan.window, edge_tile,
             aligned=plan.edge_layout == "window_aligned",
             out=tile_out,
         )
@@ -138,7 +145,7 @@ def _pack_side(
         # silently truncate (see ops/pallas/segment_sum.py).
         from ..ops.pallas.segment_sum import check_window_capacity
 
-        check_window_capacity(dst, plan.node_cap, edge_mask=edge_mask)
+        check_window_capacity(dst, node_cap, edge_mask=edge_mask)
     return PackedGraphs(
         atom_ids=atom_ids, bond_ids=bond_ids, src=src, dst=dst,
         node_graph=node_graph, node_local=node_local,
@@ -149,7 +156,13 @@ def _pack_side(
 
 
 def _epoch_plan(data: ColumnarIonPairs, plan: BatchPlan, shuffle: bool, seed: int):
-    """Shared shuffle + greedy batch planning for the fast iterators."""
+    """Shared shuffle + greedy batch planning for the fast iterators.
+
+    Returns (order, temperature, y, bounds) where ``bounds`` yields
+    ``(g0, g1, off_c, off_a)`` per batch — offsets are the balanced
+    placements (or None), and a batch that cannot balance under the
+    simulation-sized tile shrinks until it fits (the dropped records
+    lead the next batch; the tail is re-planned natively)."""
     G = len(data)
     # Shuffle permutes ONLY the size/target arrays; the indexed packer
     # gathers molecules straight from the unpermuted flat pools (the
@@ -164,12 +177,55 @@ def _epoch_plan(data: ColumnarIonPairs, plan: BatchPlan, shuffle: bool, seed: in
     mult = 2 if plan.duplicate_edges else 1
     cn, ce = data.cation.sizes()
     an_n, an_e = data.anion.sizes()
-    starts = native.plan_batches_native(
-        cn[order], ce[order] * mult, an_n[order], an_e[order] * mult,
-        plan.batch_size, plan.node_cap, plan.edge_cap,
-        node_align=plan.node_align,
-    )
-    return order, temperature, y, starts
+    an_node_cap, an_edge_cap, _, an_bal = plan.side_caps("anion")
+
+    def plan_from(g0: int):
+        return native.plan_batches_native(
+            cn[order[g0:]], ce[order[g0:]] * mult,
+            an_n[order[g0:]], an_e[order[g0:]] * mult,
+            plan.batch_size, plan.node_cap, plan.edge_cap,
+            node_align=plan.node_align,
+            node_cap_b=an_node_cap, edge_cap_b=an_edge_cap,
+        )
+
+    def bounds():
+        from .packing import GraphCapacityError, balanced_offsets
+
+        g0 = 0
+        starts = plan_from(0)
+        idx = 0
+        while g0 < G:
+            # invariant: g0 == starts[idx] (after a shrink the tail is
+            # re-planned with starts[0] == g0)
+            g1 = int(starts[idx + 1])
+            shrunk = False
+            if not plan.balance_tile:
+                yield g0, g1, None, None
+            else:
+                while True:
+                    sel = order[g0:g1]
+                    try:
+                        off_c = balanced_offsets(
+                            cn[sel], ce[sel] * mult, plan.node_cap,
+                            plan.window, plan.balance_tile)
+                        off_a = balanced_offsets(
+                            an_n[sel], an_e[sel] * mult, an_node_cap,
+                            plan.window, an_bal)
+                        break
+                    except GraphCapacityError:
+                        if g1 - g0 <= 1:
+                            raise
+                        g1 -= 1
+                        shrunk = True
+                yield g0, g1, off_c, off_a
+            g0 = g1
+            idx += 1
+            if shrunk:
+                # boundaries after a shrink are stale: re-plan the tail
+                starts = g0 + plan_from(g0).astype(np.int64)
+                idx = 0
+
+    return order, temperature, y, bounds()
 
 
 def iter_batches_fast(
@@ -185,11 +241,10 @@ def iter_batches_fast(
     """
     if not native.native_available():
         raise RuntimeError("native packer unavailable; use data.loader.iter_batches")
-    order, temperature, y, starts = _epoch_plan(data, plan, shuffle, seed)
+    order, temperature, y, bounds = _epoch_plan(data, plan, shuffle, seed)
 
     B = plan.batch_size
-    for i in range(len(starts) - 1):
-        g0, g1 = int(starts[i]), int(starts[i + 1])
+    for g0, g1, off_c, off_a in bounds:
         n_real = g1 - g0
         sel = order[g0:g1]
         temp = np.zeros((B, 1), np.float32)
@@ -200,8 +255,10 @@ def iter_batches_fast(
         yy[:n_real] = y[g0:g1]
         mask[:n_real] = 1.0
         batch = IonPairBatch(
-            cation=_pack_side(data.cation, sel, plan),
-            anion=_pack_side(data.anion, sel, plan),
+            cation=_pack_side(data.cation, sel, plan, "cation",
+                              node_offsets=off_c),
+            anion=_pack_side(data.anion, sel, plan, "anion",
+                             node_offsets=off_a),
             temperature=temp,
             y=yy,
             sample_mask=mask,
@@ -228,30 +285,37 @@ def iter_batch_groups_fast(
     """
     if not native.native_available():
         raise RuntimeError("native packer unavailable; use data.loader.iter_batches")
-    order, temperature, y, starts = _epoch_plan(data, plan, shuffle, seed)
+    order, temperature, y, bounds = _epoch_plan(data, plan, shuffle, seed)
+    blist = list(bounds)
 
     B = plan.batch_size
     K = group_size
     tiled = plan.edge_layout in ("window", "window_aligned")
-    e2 = (plan.node_cap // plan.window) * plan.edge_tile if tiled else plan.edge_cap
     layout = plan.edge_layout if tiled else "sorted"
+    side_dims = {}
+    for side in ("cation", "anion"):
+        ncap, ecap, tile, _ = plan.side_caps(side)
+        side_dims[side] = (
+            ncap, (ncap // plan.window) * tile if tiled else ecap
+        )
+    max_ecap = max(plan.side_caps(s)[1] for s in ("cation", "anion"))
     scratch = (
-        (np.empty(plan.edge_cap, np.int32), np.empty(plan.edge_cap, np.int32),
-         np.empty(plan.edge_cap, np.int32), np.empty(plan.edge_cap, bool))
+        (np.empty(max_ecap, np.int32), np.empty(max_ecap, np.int32),
+         np.empty(max_ecap, np.int32), np.empty(max_ecap, bool))
         if tiled else None
     )
     empty_sel = np.zeros(0, np.int32)
 
-    n_batches = len(starts) - 1
+    n_batches = len(blist)
     for i0 in range(0, n_batches, K):
-        ks = range(i0, min(i0 + K, n_batches))
         bufs = {}
         for side in ("cation", "anion"):
+            ncap, e2 = side_dims[side]
             bufs[side] = {
-                "atom_ids": np.empty((K, plan.node_cap), np.int32),
-                "node_graph": np.empty((K, plan.node_cap), np.int32),
-                "node_local": np.empty((K, plan.node_cap), np.int32),
-                "node_mask": np.empty((K, plan.node_cap), bool),
+                "atom_ids": np.empty((K, ncap), np.int32),
+                "node_graph": np.empty((K, ncap), np.int32),
+                "node_local": np.empty((K, ncap), np.int32),
+                "node_mask": np.empty((K, ncap), bool),
                 "bond_ids": np.empty((K, e2), np.int32),
                 "src": np.empty((K, e2), np.int32),
                 "dst": np.empty((K, e2), np.int32),
@@ -263,8 +327,9 @@ def iter_batch_groups_fast(
         n_real_total = 0
         for k in range(K):
             i = i0 + k
+            off_c = off_a = None
             if i < n_batches:
-                g0, g1 = int(starts[i]), int(starts[i + 1])
+                g0, g1, off_c, off_a = blist[i]
                 n_real = g1 - g0
                 sel = order[g0:g1]
                 if plan.with_temperature:
@@ -274,15 +339,18 @@ def iter_batch_groups_fast(
                 n_real_total += n_real
             else:
                 sel = empty_sel  # group padding: natively-packed empty batch
-            for side_name, side in (("cation", data.cation), ("anion", data.anion)):
+            for side_name, side, offs in (
+                ("cation", data.cation, off_c), ("anion", data.anion, off_a)
+            ):
                 b = bufs[side_name]
                 _pack_side(
-                    side, sel, plan,
+                    side, sel, plan, side_name,
                     node_out=(b["atom_ids"][k], b["node_graph"][k],
                               b["node_local"][k], b["node_mask"][k]),
                     edge_out=(b["bond_ids"][k], b["src"][k], b["dst"][k],
                               b["edge_mask"][k]),
                     scratch=scratch,
+                    node_offsets=offs,
                 )
 
         def graphs(side_name: str) -> PackedGraphs:

@@ -49,10 +49,39 @@ class BatchPlan:
     # placement (ops/grid_pack.py::pack_side_on_device(pitch=...)); host
     # packing uses greedy node_align instead and ignores this
     pitch: int = 0
+    # window_aligned only: place molecules with LPT edge balancing
+    # (packing.assign_windows_balanced) so the per-window edge tile tracks
+    # the MEAN load instead of the worst density run — edge_tile is then
+    # sized by simulation and the loader retries with a smaller batch on
+    # the (rare) overflow instead of carrying worst-case slack.
+    balance: bool = False
+    # PER-SIDE capacities: anions are typically ~3x smaller than cations,
+    # so sizing both sides by the max wastes most of the anion side's
+    # node/edge slots (and the compute proportional to them). 0 = use the
+    # shared node_cap/edge_cap/edge_tile (the cation-or-max sizing).
+    anion_node_cap: int = 0
+    anion_edge_cap: int = 0
+    anion_edge_tile: int = 0
 
     @property
     def node_align(self) -> int:
         return self.window if self.edge_layout == "window_aligned" else 0
+
+    @property
+    def balance_tile(self) -> int:
+        return self.edge_tile if (self.balance and
+                                  self.edge_layout == "window_aligned") else 0
+
+    def side_caps(self, side: str):
+        """(node_cap, edge_cap, edge_tile, balance_tile) for one ion side."""
+        if side == "anion" and self.anion_node_cap:
+            tile = self.anion_edge_tile or self.edge_tile
+            bal = tile if (self.balance and
+                           self.edge_layout == "window_aligned") else 0
+            return (self.anion_node_cap, self.anion_edge_cap or self.edge_cap,
+                    tile, bal)
+        return (self.node_cap, self.edge_cap, self.edge_tile,
+                self.balance_tile)
 
 
 def _record_sizes(rec: Dict[str, Any], duplicate_edges: bool) -> tuple:
@@ -75,6 +104,8 @@ def plan_capacities(
     edge_layout: str = "sorted",
     window: int = ONEHOT_WINDOW,
     node_shards: int = 1,
+    balance: bool = False,
+    per_side_caps: bool = True,
 ) -> BatchPlan:
     """Choose safe static capacities for ``batch_size`` molecules per batch.
 
@@ -93,9 +124,21 @@ def plan_capacities(
     ``node_shards > 1`` rounds the node capacity so the batch folds
     evenly into that many aligned-EP shards cut at window multiples
     (``parallel/aligned_partition.py`` — requires a window layout).
+
+    ``per_side_caps`` (default) additionally sizes the ANION side by its
+    own statistics (``plan.anion_*``): anions are typically ~3× smaller
+    than cations, and sizing both sides by the per-record max wastes most
+    of the anion side's node/edge slots — and the device work
+    proportional to them. Pass False for symmetric legacy plans.
     """
-    nodes = np.array([_record_sizes(r, duplicate_edges)[0] for r in records])
-    edges = np.array([_record_sizes(r, duplicate_edges)[1] for r in records])
+    mult = 2 if duplicate_edges else 1
+    nc_arr = np.array([int(r["cation"]["num_atoms"]) for r in records])
+    ec_arr = np.array(
+        [len(r["cation"]["edge_indices"]) * mult for r in records])
+    na_arr = np.array([int(r["anion"]["num_atoms"]) for r in records])
+    ea_arr = np.array([len(r["anion"]["edge_indices"]) * mult for r in records])
+    nodes = np.maximum(nc_arr, na_arr)
+    edges = np.maximum(ec_arr, ea_arr)
 
     def _cap(sizes: np.ndarray, multiple: int) -> int:
         worst = int(sizes.max()) * batch_size
@@ -103,16 +146,16 @@ def plan_capacities(
         cap = max(int(sizes.max()), min(worst, mean_based))
         return round_up(cap, multiple)
 
-    node_cap = _cap(nodes, node_multiple)
-    edge_tile = 0
-    if edge_layout in ("window", "window_aligned"):
-        mult = 2 if duplicate_edges else 1
-        density = max(
-            (len(r[ion]["edge_indices"]) * mult) / max(int(r[ion]["num_atoms"]), 1)
-            for r in records
-            for ion in ("cation", "anion")
+    def _side_plan(nodes_s: np.ndarray, edges_s: np.ndarray):
+        """(node_cap, edge_tile) for one side's size distributions."""
+        node_cap = _cap(nodes_s, node_multiple)
+        edge_tile = 0
+        if edge_layout not in ("window", "window_aligned"):
+            return node_cap, edge_tile
+        density = float(
+            (edges_s / np.maximum(nodes_s, 1)).max()
         )
-        max_mol_edges = int(edges.max())
+        max_mol_edges = int(edges_s.max())
         if edge_layout == "window_aligned":
             # no molecule straddles a window, so every window's edges come
             # from molecules fully inside it: tile <= window * density.
@@ -120,7 +163,7 @@ def plan_capacities(
             # simulating aligned packing of shuffled size samples (batches
             # still close early on overflow, so a tight cap only trades a
             # little batch fill, never correctness).
-            max_mol = int(nodes.max())
+            max_mol = int(nodes_s.max())
             if max_mol > window:
                 raise ValueError(
                     f"largest molecule ({max_mol} atoms) exceeds the "
@@ -138,18 +181,52 @@ def plan_capacities(
 
             rng = np.random.default_rng(0)
             sims = [
-                _aligned_usage(rng.choice(nodes, size=batch_size))
+                _aligned_usage(rng.choice(nodes_s, size=batch_size))
                 for _ in range(3)
             ]
             node_cap = round_up(
                 max(node_cap, max(sims)) + max_mol, window * max(node_shards, 1)
             )
             edge_tile = round_up(int(np.ceil(window * density)), 8)
+            if balance:
+                # balanced placement: the worst window tracks the MEAN
+                # load, so size the tile from simulated LPT makespans
+                # (max over shuffles, +8 margin) instead of the density
+                # bound. Any underestimate is absorbed at runtime: the
+                # loader closes the batch earlier and retries — never
+                # truncates.
+                from .packing import assign_windows_balanced
+
+                nw = node_cap // window
+                worst = 8
+                rng_b = np.random.default_rng(1)
+                for _ in range(3):
+                    idx = rng_b.choice(len(records), size=min(batch_size,
+                                                              len(records)),
+                                       replace=False)
+                    try:
+                        win = assign_windows_balanced(
+                            nodes_s[idx], edges_s[idx], nw, window,
+                            tile=10 ** 9,
+                        )
+                    except Exception:
+                        continue
+                    loads = np.bincount(win, weights=edges_s[idx],
+                                        minlength=nw)
+                    worst = max(worst, int(loads.max()))
+                edge_tile = min(edge_tile, round_up(worst + 8, 8))
         else:
             node_cap = round_up(node_cap, window * max(node_shards, 1))
             edge_tile = round_up(
                 int(np.ceil(window * density)) + 2 * max_mol_edges, 8
             )
+        return node_cap, edge_tile
+
+    node_cap, edge_tile = _side_plan(nodes, edges)
+    anion_node_cap = anion_edge_cap = anion_edge_tile = 0
+    if per_side_caps:
+        anion_node_cap, anion_edge_tile = _side_plan(na_arr, ea_arr)
+        anion_edge_cap = _cap(ea_arr, edge_multiple)
 
     return BatchPlan(
         batch_size=batch_size,
@@ -161,6 +238,10 @@ def plan_capacities(
         edge_layout=edge_layout,
         edge_tile=edge_tile,
         window=window,
+        balance=balance and edge_layout == "window_aligned",
+        anion_node_cap=anion_node_cap,
+        anion_edge_cap=anion_edge_cap,
+        anion_edge_tile=anion_edge_tile,
     )
 
 
@@ -182,6 +263,7 @@ def iter_batches(
     if shuffle:
         rng = np.random.default_rng(seed)
         rng.shuffle(order)
+    seq: List[Dict[str, Any]] = [records[int(i)] for i in order]
 
     chunk: List[Dict[str, Any]] = []
     used_nodes_c = used_nodes_a = used_edges_c = used_edges_a = 0
@@ -195,6 +277,8 @@ def iter_batches(
             used = round_up(used, align)
         return used + n
 
+    an_node_cap, an_edge_cap, an_tile, an_bal = plan.side_caps("anion")
+
     def _emit(ch: List[Dict[str, Any]]) -> IonPairBatch:
         batch = pack_ion_pair_batch(
             ch,
@@ -205,41 +289,76 @@ def iter_batches(
             with_temperature=plan.with_temperature,
             duplicate_edges=plan.duplicate_edges,
             node_align=align,
+            balance_tile=plan.balance_tile,
+            anion_node_cap=plan.anion_node_cap,
+            anion_edge_cap=plan.anion_edge_cap,
+            anion_balance_tile=an_bal,
         )
         if plan.edge_layout in ("window", "window_aligned"):
             batch = window_tile_batch(
                 batch, plan.edge_tile, plan.window,
                 aligned=plan.edge_layout == "window_aligned",
+                anion_tile=plan.anion_edge_tile,
             )
         return batch
 
-    for idx in order:
-        rec = records[int(idx)]
+    from .packing import GraphCapacityError
+
+    def _emit_retry(ch: List[Dict[str, Any]]):
+        """Balanced packing can (rarely) fail on the simulation-sized
+        tile; shrink the batch until it fits — the popped records lead
+        the next batch. Never truncates; a single infeasible record
+        still raises."""
+        leftover: List[Dict[str, Any]] = []
+        while True:
+            try:
+                return _emit(ch), leftover
+            except GraphCapacityError:
+                if not plan.balance or len(ch) <= 1:
+                    raise
+                leftover.insert(0, ch[-1])
+                ch = ch[:-1]
+
+    pos = 0
+    while pos < len(seq):
+        rec = seq[pos]
         nc = int(rec["cation"]["num_atoms"])
         na = int(rec["anion"]["num_atoms"])
         ec = len(rec["cation"]["edge_indices"]) * mult
         ea = len(rec["anion"]["edge_indices"]) * mult
-        if max(nc, na) > plan.node_cap or max(ec, ea) > plan.edge_cap:
+        if nc > plan.node_cap or na > an_node_cap or \
+                ec > plan.edge_cap or ea > an_edge_cap:
             raise ValueError(
                 f"record {rec.get('pair_id')} exceeds plan capacities "
-                f"(nodes {max(nc, na)}/{plan.node_cap}, edges {max(ec, ea)}/{plan.edge_cap})"
+                f"(nodes {nc}/{plan.node_cap} {na}/{an_node_cap}, "
+                f"edges {ec}/{plan.edge_cap} {ea}/{an_edge_cap})"
             )
         overflow = (
             len(chunk) >= plan.batch_size
             or _place(used_nodes_c, nc) > plan.node_cap
-            or _place(used_nodes_a, na) > plan.node_cap
+            or _place(used_nodes_a, na) > an_node_cap
             or used_edges_c + ec > plan.edge_cap
-            or used_edges_a + ea > plan.edge_cap
+            or used_edges_a + ea > an_edge_cap
         )
         if overflow:
-            yield _emit(chunk)
+            batch, leftover = _emit_retry(chunk)
+            yield batch
             chunk = []
             used_nodes_c = used_nodes_a = used_edges_c = used_edges_a = 0
+            if leftover:
+                seq[pos:pos] = leftover
+                continue  # re-process the pushed-back records first
         chunk.append(rec)
         used_nodes_c = _place(used_nodes_c, nc)
         used_nodes_a = _place(used_nodes_a, na)
         used_edges_c += ec
         used_edges_a += ea
+        pos += 1
 
     if chunk and not drop_remainder:
-        yield _emit(chunk)
+        batch, leftover = _emit_retry(chunk)
+        yield batch
+        while leftover:
+            batch, leftover2 = _emit_retry(leftover)
+            yield batch
+            leftover = leftover2

@@ -35,6 +35,8 @@ from flax import struct
 __all__ = [
     "PackedGraphs",
     "IonPairBatch",
+    "assign_windows_balanced",
+    "balanced_offsets",
     "pack_graphs",
     "pack_ion_pair_batch",
     "pad_dense_batch",
@@ -47,6 +49,112 @@ __all__ = [
 
 def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
+
+
+def assign_windows_balanced(
+    n_atoms: np.ndarray,  # (B,) atoms per molecule
+    n_edges: np.ndarray,  # (B,) directed edges per molecule (post-dup)
+    nw: int,  # number of node windows
+    window: int,
+    tile: int,  # per-window edge-slot capacity
+) -> np.ndarray:
+    """LPT assignment of molecules to node windows, balancing EDGES.
+
+    Sequential aligned packing fills windows in molecule order, so a run
+    of dense ions overloads one window while others sit near-empty — the
+    per-window edge tile must then cover the worst-density window
+    (``window × max(edges/atoms)``) and measured tile fill is ~0.5.
+    Balancing instead sorts molecules by edge count (desc) and places
+    each into the least-edge-loaded window that still has atom room
+    (longest-processing-time scheduling): the worst window tracks the
+    MEAN edges/window, so the static tile — and every edge-slot-
+    proportional cost in the onehot message path — shrinks toward the
+    mean. Graph identity is untouched (``node_graph`` keeps batch slot
+    order); per-graph math is placement-invariant.
+
+    Returns (B,) window ids. Raises :class:`GraphCapacityError` if some
+    molecule cannot be placed under the (atom, tile) capacities — the
+    loader treats that as "close the batch earlier and retry".
+    """
+    import heapq
+
+    B = len(n_atoms)
+    order = np.argsort(-np.asarray(n_edges, np.int64), kind="stable")
+    # each window appears exactly once in the heap; entries are always
+    # authoritative (updated only via pop → push)
+    heap = [(0, 0, w) for w in range(nw)]  # (edges_used, atoms_used, w)
+    heapq.heapify(heap)
+    out = np.zeros(B, np.int32)
+    for i in order:
+        n = int(n_atoms[i])
+        e = int(n_edges[i])
+        if n > window:
+            raise GraphCapacityError(
+                f"molecule of {n} atoms cannot fit a {window}-node window"
+            )
+        if n == 0:
+            continue
+        deferred = []
+        placed = False
+        while heap:
+            eu, au, w = heapq.heappop(heap)
+            if au + n > window:  # no atom room here; try the next-least
+                deferred.append((eu, au, w))
+                continue
+            if eu + e > tile:
+                # true least-edge-loaded window overflows the tile: no
+                # other window can do better
+                deferred.append((eu, au, w))
+                break
+            heapq.heappush(heap, (eu + e, au + n, w))
+            out[i] = w
+            placed = True
+            break
+        for item in deferred:
+            heapq.heappush(heap, item)
+        if not placed:
+            raise GraphCapacityError(
+                f"balanced placement failed for molecule {int(i)} "
+                f"({n} atoms, {e} edges) under window={window}, tile={tile}"
+            )
+    return out
+
+
+def balanced_offsets(
+    n_atoms: np.ndarray,
+    n_edges: np.ndarray,
+    node_cap: int,
+    window: int,
+    tile: int,
+) -> np.ndarray:
+    """Per-molecule node offsets for balanced placement: LPT window
+    assignment, then batch-order sequential placement within each window
+    (grouped cumsum). Shared by the Python and native packers so both
+    loaders stay bit-identical."""
+    if node_cap % window:
+        raise GraphCapacityError(
+            f"node capacity {node_cap} not a multiple of window {window}"
+        )
+    na = np.asarray(n_atoms, np.int64)
+    win = assign_windows_balanced(na, np.asarray(n_edges, np.int64),
+                                  node_cap // window, window, tile)
+    # stable sort by window keeps batch order within each window; the
+    # within-window offset is the cumsum of earlier same-window molecules
+    ord_ = np.argsort(win, kind="stable")
+    na_o = na[ord_]
+    csum = np.cumsum(na_o) - na_o  # exclusive prefix within the sort
+    win_o = win[ord_]
+    # subtract each window group's starting prefix
+    starts = np.zeros(len(ord_), np.int64)
+    if len(ord_):
+        first = np.ones(len(ord_), bool)
+        first[1:] = win_o[1:] != win_o[:-1]
+        group_base = np.where(first, csum, 0)
+        group_base = np.maximum.accumulate(group_base)
+        starts = csum - group_base
+    offsets = np.zeros(len(na), np.int64)
+    offsets[ord_] = win_o.astype(np.int64) * window + starts
+    return offsets
 
 
 @struct.dataclass
@@ -109,6 +217,7 @@ def pack_graphs(
     duplicate_edges: bool = False,
     sort_edges_by_dst: bool = True,
     node_align: int = 0,
+    balance_tile: int = 0,
 ) -> PackedGraphs:
     """Pack id-encoded molecule dicts into one fixed-capacity batch.
 
@@ -129,6 +238,12 @@ def pack_graphs(
             and dst share a window, so the onehot message path needs no
             3-window halo and the per-window edge-tile bound loses its
             2×max-molecule straddler term.
+        balance_tile: > 0 (aligned layouts only) places molecules with
+            :func:`assign_windows_balanced` instead of sequentially — the
+            per-window edge load tracks the MEAN instead of the worst
+            density run, so the static tile (= ``balance_tile``) can be
+            ~half the density bound. Raises on infeasible placement (the
+            loader closes the batch earlier and retries).
     """
     B = len(graphs)
     if n_graphs is None:
@@ -145,21 +260,42 @@ def pack_graphs(
     dst_parts: List[np.ndarray] = []
     bond_parts: List[np.ndarray] = []
 
-    offset = 0
+    mult = 2 if duplicate_edges else 1
+    if balance_tile > 0:
+        if node_align <= 1:
+            raise ValueError("balance_tile requires node_align (aligned layout)")
+        if node_cap % node_align:
+            raise GraphCapacityError(
+                f"node capacity {node_cap} not a multiple of window {node_align}"
+            )
+        na = np.asarray([int(g["num_atoms"]) for g in graphs], np.int64)
+        ne = np.asarray(
+            [len(g["edge_indices"]) * mult for g in graphs], np.int64
+        )
+        offsets = balanced_offsets(na, ne, node_cap, node_align, balance_tile)
+    else:
+        offsets = np.zeros(len(graphs), np.int64)
+        offset = 0
+        for g_idx, g in enumerate(graphs):
+            n = int(g["num_atoms"])
+            if node_align > 1 and n:
+                if n > node_align:
+                    raise GraphCapacityError(
+                        f"molecule of {n} atoms cannot fit a {node_align}-node "
+                        f"aligned window"
+                    )
+                if offset % node_align + n > node_align:
+                    offset = round_up(offset, node_align)
+            if offset + n > node_cap:
+                raise GraphCapacityError(
+                    f"node capacity {node_cap} exceeded at graph {g_idx} ({offset}+{n})"
+                )
+            offsets[g_idx] = offset
+            offset += n
+
     for g_idx, g in enumerate(graphs):
         n = int(g["num_atoms"])
-        if node_align > 1 and n:
-            if n > node_align:
-                raise GraphCapacityError(
-                    f"molecule of {n} atoms cannot fit a {node_align}-node "
-                    f"aligned window"
-                )
-            if offset % node_align + n > node_align:
-                offset = round_up(offset, node_align)
-        if offset + n > node_cap:
-            raise GraphCapacityError(
-                f"node capacity {node_cap} exceeded at graph {g_idx} ({offset}+{n})"
-            )
+        offset = int(offsets[g_idx])
         atom_ids[offset : offset + n] = np.asarray(g["atom_ids"], np.int32) + 1
         node_graph[offset : offset + n] = g_idx
         node_local[offset : offset + n] = np.arange(n, dtype=np.int32)
@@ -174,7 +310,6 @@ def pack_graphs(
             src_parts.append(edges[:, 0] + offset)
             dst_parts.append(edges[:, 1] + offset)
             bond_parts.append(bonds_g)
-        offset += n
 
     srcs = np.concatenate(src_parts) if src_parts else np.zeros(0, np.int32)
     dsts = np.concatenate(dst_parts) if dst_parts else np.zeros(0, np.int32)
@@ -248,10 +383,16 @@ def pack_ion_pair_batch(
     with_temperature: bool = True,
     duplicate_edges: bool = False,
     node_align: int = 0,
+    balance_tile: int = 0,
+    anion_node_cap: int = 0,
+    anion_edge_cap: int = 0,
+    anion_balance_tile: int = 0,
 ) -> IonPairBatch:
     """Pack up to ``batch_size`` id-data records (reference ``*_id_data.pkl``
     row format) into one :class:`IonPairBatch`; short batches are padded
-    with empty molecules and ``sample_mask == 0``."""
+    with empty molecules and ``sample_mask == 0``. The ``anion_*``
+    overrides size that side independently (0 = use the shared caps) —
+    anions are typically much smaller than cations."""
     B = batch_size
     n_real = len(records)
     if n_real > B:
@@ -259,9 +400,11 @@ def pack_ion_pair_batch(
     cat_graphs = [r["cation"] for r in records] + [_empty_graph()] * (B - n_real)
     an_graphs = [r["anion"] for r in records] + [_empty_graph()] * (B - n_real)
     cation = pack_graphs(cat_graphs, node_cap, edge_cap, B, duplicate_edges,
-                         node_align=node_align)
-    anion = pack_graphs(an_graphs, node_cap, edge_cap, B, duplicate_edges,
-                        node_align=node_align)
+                         node_align=node_align, balance_tile=balance_tile)
+    anion = pack_graphs(an_graphs, anion_node_cap or node_cap,
+                        anion_edge_cap or edge_cap, B, duplicate_edges,
+                        node_align=node_align,
+                        balance_tile=anion_balance_tile or balance_tile)
     temperature = np.zeros((B, 1), np.float32)
     y = np.zeros(B, np.float32)
     mask = np.zeros(B, np.float32)
@@ -379,12 +522,14 @@ def window_tile_edges(
 
 def window_tile_batch(
     batch: "IonPairBatch", tile: int, window: int = ONEHOT_WINDOW,
-    aligned: bool = False,
+    aligned: bool = False, anion_tile: int = 0,
 ) -> "IonPairBatch":
-    """Apply :func:`window_tile_edges` to both ions of a batch."""
+    """Apply :func:`window_tile_edges` to both ions of a batch
+    (``anion_tile`` sizes that side's tiles independently; 0 = shared)."""
     return IonPairBatch(
         cation=window_tile_edges(batch.cation, tile, window, aligned),
-        anion=window_tile_edges(batch.anion, tile, window, aligned),
+        anion=window_tile_edges(batch.anion, anion_tile or tile, window,
+                                aligned),
         temperature=batch.temperature,
         y=batch.y,
         sample_mask=batch.sample_mask,

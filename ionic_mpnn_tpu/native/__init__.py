@@ -82,9 +82,26 @@ def get_packer_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             i32p,
         ]
+        lib.plan_batches2.restype = ctypes.c_int
+        lib.plan_batches2.argtypes = [
+            i32p, i32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            i32p,
+        ]
         lib.pack_graphs_indexed.restype = ctypes.c_int
         lib.pack_graphs_indexed.argtypes = [
             i32p, i64p, i32p, i32p, i64p,
+            i32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p, i32p, u8p, u8p,
+        ]
+        lib.pack_graphs_indexed_at.restype = ctypes.c_int
+        lib.pack_graphs_indexed_at.argtypes = [
+            i32p, i64p, i32p, i32p, i64p,
+            i32p, ctypes.c_int32,
             i32p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32,
@@ -165,19 +182,23 @@ def plan_batches_native(
     n_nodes_b: np.ndarray, n_edges_b: np.ndarray,
     batch_size: int, node_cap: int, edge_cap: int,
     node_align: int = 0,
+    node_cap_b: int = 0, edge_cap_b: int = 0,
 ) -> np.ndarray:
-    """Greedy batch boundaries; returns starts array of len n_batches+1."""
+    """Greedy batch boundaries; returns starts array of len n_batches+1.
+    ``*_b`` caps size side b independently (0 = shared with side a)."""
     lib = get_packer_lib()
     if lib is None:
         raise RuntimeError("native packer unavailable (no g++?)")
     num_graphs = len(n_nodes_a)
     starts = np.empty(num_graphs + 1, np.int32)
-    rc = lib.plan_batches(
+    rc = lib.plan_batches2(
         np.ascontiguousarray(n_nodes_a, np.int32),
         np.ascontiguousarray(n_edges_a, np.int32),
         np.ascontiguousarray(n_nodes_b, np.int32),
         np.ascontiguousarray(n_edges_b, np.int32),
-        num_graphs, batch_size, node_cap, edge_cap, int(node_align), starts,
+        num_graphs, batch_size, node_cap, edge_cap,
+        node_cap_b or node_cap, edge_cap_b or edge_cap,
+        int(node_align), starts,
     )
     if rc < 0:
         raise ValueError(f"a single graph exceeds capacities (err {rc})")
@@ -192,6 +213,7 @@ def pack_graphs_indexed_native(
     duplicate_edges: bool = False, sort_by_dst: bool = True,
     node_align: int = 0,
     out=None,
+    node_offsets=None,
 ):
     """C++ packing of molecules ``sel`` gathered directly from the
     whole-dataset flat pools — shuffling an epoch permutes only the size
@@ -204,6 +226,9 @@ def pack_graphs_indexed_native(
     bool[edge_cap]) — e.g. rows of pre-stacked (K, cap) group buffers, so
     scan-group assembly needs no np.stack pass. Masks may be bool or
     uint8 (bool arrays are viewed as uint8 in place).
+
+    ``node_offsets``: optional (len(sel),) explicit node placement (the
+    LPT window balancing computes it in Python; C++ just writes it).
     """
     lib = get_packer_lib()
     if lib is None:
@@ -221,17 +246,31 @@ def pack_graphs_indexed_native(
         (atom_ids, bond_ids, src, dst, node_graph, node_local,
          node_mask, edge_mask) = out
     sel = np.ascontiguousarray(sel, np.int32)
-    rc = lib.pack_graphs_indexed(
-        np.ascontiguousarray(atoms_pool, np.int32),
-        np.ascontiguousarray(atom_off, np.int64),
-        np.ascontiguousarray(bonds_pool, np.int32),
-        np.ascontiguousarray(edges_pool, np.int32).reshape(-1),
-        np.ascontiguousarray(edge_off, np.int64),
-        sel, len(sel), node_cap, edge_cap,
-        int(duplicate_edges), int(sort_by_dst), int(node_align),
-        atom_ids, bond_ids, src, dst, node_graph, node_local,
-        _as_u8(node_mask), _as_u8(edge_mask),
-    )
+    if node_offsets is not None:
+        offs = np.ascontiguousarray(node_offsets, np.int32)
+        rc = lib.pack_graphs_indexed_at(
+            np.ascontiguousarray(atoms_pool, np.int32),
+            np.ascontiguousarray(atom_off, np.int64),
+            np.ascontiguousarray(bonds_pool, np.int32),
+            np.ascontiguousarray(edges_pool, np.int32).reshape(-1),
+            np.ascontiguousarray(edge_off, np.int64),
+            sel, len(sel), offs, 1, node_cap, edge_cap,
+            int(duplicate_edges), int(sort_by_dst), int(node_align),
+            atom_ids, bond_ids, src, dst, node_graph, node_local,
+            _as_u8(node_mask), _as_u8(edge_mask),
+        )
+    else:
+        rc = lib.pack_graphs_indexed(
+            np.ascontiguousarray(atoms_pool, np.int32),
+            np.ascontiguousarray(atom_off, np.int64),
+            np.ascontiguousarray(bonds_pool, np.int32),
+            np.ascontiguousarray(edges_pool, np.int32).reshape(-1),
+            np.ascontiguousarray(edge_off, np.int64),
+            sel, len(sel), node_cap, edge_cap,
+            int(duplicate_edges), int(sort_by_dst), int(node_align),
+            atom_ids, bond_ids, src, dst, node_graph, node_local,
+            _as_u8(node_mask), _as_u8(edge_mask),
+        )
     if rc == -1:
         raise ValueError(f"node capacity {node_cap} exceeded")
     if rc == -2:

@@ -46,6 +46,19 @@ int pack_graphs_indexed(
     int32_t* node_graph_out, int32_t* node_local_out,
     uint8_t* node_mask_out, uint8_t* edge_mask_out);
 
+int pack_graphs_indexed_at(
+    const int32_t* atoms_pool, const int64_t* a_off,
+    const int32_t* bonds_pool, const int32_t* edges_pool,
+    const int64_t* e_off,
+    const int32_t* sel, int32_t n_sel,
+    const int32_t* node_offsets, int32_t use_offsets,
+    int32_t node_cap, int32_t edge_cap, int32_t duplicate_edges,
+    int32_t sort_by_dst, int32_t node_align,
+    int32_t* atom_ids_out, int32_t* bond_ids_out,
+    int32_t* src_out, int32_t* dst_out,
+    int32_t* node_graph_out, int32_t* node_local_out,
+    uint8_t* node_mask_out, uint8_t* edge_mask_out);
+
 // Pack one batch of molecules given columnar inputs:
 //   atom_ids_flat[atom_off[g] : atom_off[g+1]]  -- raw vocab ids, graph g
 //   bond_ids_flat[edge_off[g] : edge_off[g+1]]  -- raw vocab ids
@@ -75,17 +88,18 @@ int pack_graphs(
       node_graph_out, node_local_out, node_mask_out, edge_mask_out);
 }
 
-// Greedy batch planning: given per-graph (node, edge) sizes and capacities,
-// compute batch boundaries (close a batch when the next graph would
-// overflow any capacity). Writes batch start indices into starts_out
+// Greedy batch planning: given per-graph (node, edge) sizes and PER-SIDE
+// capacities, compute batch boundaries (close a batch when the next graph
+// would overflow any capacity). Writes batch start indices into starts_out
 // (capacity num_graphs + 1); returns the number of batches, or a negative
 // PackError if a single graph exceeds capacity.
-int plan_batches(
+int plan_batches2(
     const int32_t* n_nodes_a, const int32_t* n_edges_a,
     const int32_t* n_nodes_b, const int32_t* n_edges_b,
     int32_t num_graphs, int32_t batch_size,
-    int32_t node_cap, int32_t edge_cap, int32_t node_align,
-    int32_t* starts_out) {
+    int32_t node_cap_a, int32_t edge_cap_a,
+    int32_t node_cap_b, int32_t edge_cap_b,
+    int32_t node_align, int32_t* starts_out) {
   int32_t n_batches = 0;
   int32_t count = 0;
   int64_t na = 0, nb = 0, ea = 0, eb = 0;
@@ -98,18 +112,18 @@ int plan_batches(
   };
   starts_out[0] = 0;
   for (int32_t g = 0; g < num_graphs; ++g) {
-    if (n_nodes_a[g] > node_cap || n_nodes_b[g] > node_cap)
+    if (n_nodes_a[g] > node_cap_a || n_nodes_b[g] > node_cap_b)
       return PACK_NODE_OVERFLOW;
     if (node_align > 1 &&
         (n_nodes_a[g] > node_align || n_nodes_b[g] > node_align))
       return PACK_NODE_OVERFLOW;
-    if (n_edges_a[g] > edge_cap || n_edges_b[g] > edge_cap)
+    if (n_edges_a[g] > edge_cap_a || n_edges_b[g] > edge_cap_b)
       return PACK_EDGE_OVERFLOW;
     const bool overflow = count >= batch_size ||
-                          place(na, n_nodes_a[g]) > node_cap ||
-                          place(nb, n_nodes_b[g]) > node_cap ||
-                          ea + n_edges_a[g] > edge_cap ||
-                          eb + n_edges_b[g] > edge_cap;
+                          place(na, n_nodes_a[g]) > node_cap_a ||
+                          place(nb, n_nodes_b[g]) > node_cap_b ||
+                          ea + n_edges_a[g] > edge_cap_a ||
+                          eb + n_edges_b[g] > edge_cap_b;
     if (overflow && count > 0) {
       ++n_batches;
       starts_out[n_batches] = g;
@@ -129,6 +143,18 @@ int plan_batches(
   return n_batches;
 }
 
+// Back-compat shim: shared capacities for both sides.
+int plan_batches(
+    const int32_t* n_nodes_a, const int32_t* n_edges_a,
+    const int32_t* n_nodes_b, const int32_t* n_edges_b,
+    int32_t num_graphs, int32_t batch_size,
+    int32_t node_cap, int32_t edge_cap, int32_t node_align,
+    int32_t* starts_out) {
+  return plan_batches2(n_nodes_a, n_edges_a, n_nodes_b, n_edges_b,
+                       num_graphs, batch_size, node_cap, edge_cap,
+                       node_cap, edge_cap, node_align, starts_out);
+}
+
 // Indexed packing: pack molecules sel[0..n_sel) gathered DIRECTLY from
 // whole-dataset flat pools (atoms/bonds/edges + per-molecule offsets) —
 // the per-epoch shuffle then permutes only the tiny size arrays instead
@@ -146,8 +172,33 @@ int pack_graphs_indexed(
     int32_t* src_out, int32_t* dst_out,
     int32_t* node_graph_out, int32_t* node_local_out,
     uint8_t* node_mask_out, uint8_t* edge_mask_out) {
+  return pack_graphs_indexed_at(
+      atoms_pool, a_off, bonds_pool, edges_pool, e_off, sel, n_sel,
+      nullptr, 0, node_cap, edge_cap, duplicate_edges, sort_by_dst,
+      node_align, atom_ids_out, bond_ids_out, src_out, dst_out,
+      node_graph_out, node_local_out, node_mask_out, edge_mask_out);
+}
+
+// As pack_graphs_indexed, but with OPTIONAL explicit per-molecule node
+// offsets (use_offsets != 0): the caller chose the placement (e.g. the
+// LPT window balancing in data/packing.py::assign_windows_balanced) and
+// this function just writes it. Offsets must be in-bounds and
+// non-overlapping; bounds are checked, overlap is the caller's contract.
+int pack_graphs_indexed_at(
+    const int32_t* atoms_pool, const int64_t* a_off,
+    const int32_t* bonds_pool, const int32_t* edges_pool,
+    const int64_t* e_off,
+    const int32_t* sel, int32_t n_sel,
+    const int32_t* node_offsets, int32_t use_offsets,
+    int32_t node_cap, int32_t edge_cap, int32_t duplicate_edges,
+    int32_t sort_by_dst, int32_t node_align,
+    int32_t* atom_ids_out, int32_t* bond_ids_out,
+    int32_t* src_out, int32_t* dst_out,
+    int32_t* node_graph_out, int32_t* node_local_out,
+    uint8_t* node_mask_out, uint8_t* edge_mask_out) {
   if (!atoms_pool || !a_off || !bonds_pool || !edges_pool || !e_off ||
-      (!sel && n_sel > 0) || n_sel < 0 || node_cap <= 0 || edge_cap <= 0) {
+      (!sel && n_sel > 0) || n_sel < 0 || node_cap <= 0 || edge_cap <= 0 ||
+      (use_offsets && !node_offsets && n_sel > 0)) {
     return PACK_BAD_ARGS;
   }
   std::memset(atom_ids_out, 0, sizeof(int32_t) * node_cap);
@@ -166,7 +217,10 @@ int pack_graphs_indexed(
     const int32_t g = sel[i];
     const int64_t a0 = a_off[g], a1 = a_off[g + 1];
     const int64_t n = a1 - a0;
-    if (node_align > 1 && n > 0) {
+    if (use_offsets) {
+      node_offset = node_offsets[i];
+      if (node_offset < 0) return PACK_BAD_ARGS;
+    } else if (node_align > 1 && n > 0) {
       if (n > node_align) return PACK_NODE_OVERFLOW;
       if (node_offset % node_align + n > node_align) {
         node_offset = (node_offset / node_align + 1) * node_align;

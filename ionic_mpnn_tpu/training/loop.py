@@ -327,6 +327,8 @@ def fit(
         edge_cap=plan.edge_cap, target_key=plan.target_key,
         with_temperature=plan.with_temperature,
         duplicate_edges=plan.duplicate_edges,
+        anion_node_cap=plan.anion_node_cap,
+        anion_edge_cap=plan.anion_edge_cap,
     )
     if plan.edge_layout in ("window", "window_aligned"):
         # group-padding batches must share the real batches' (static) edge
@@ -336,6 +338,7 @@ def fit(
         empty_batch = window_tile_batch(
             empty_batch, plan.edge_tile, plan.window,
             aligned=plan.edge_layout == "window_aligned",
+            anion_tile=plan.anion_edge_tile,
         )
     group_size = n_dev * K
     group_epoch_runner = None  # set by the native single-device K>1 path

@@ -155,6 +155,7 @@ def main():
         unroll = 1
         tight_tile = False
         tile_override = 0
+        balanced = False
         for opt in parts[1:]:
             if opt == "vloop":
                 onehot_select = "vloop"
@@ -168,6 +169,8 @@ def main():
                 layout = "window_aligned"
             elif opt == "tighttile":
                 tight_tile = True
+            elif opt == "balanced":
+                balanced = True
             elif opt.startswith("tile") and opt[4:].isdigit():
                 tile_override = int(opt[4:])  # e.g. tile384 (safe: only raise it)
             elif opt.startswith("unroll") and opt[6:].isdigit():
@@ -182,7 +185,8 @@ def main():
                                     compute_dtype=dtype, edge_layout=layout,
                                     onehot_select=onehot_select, window=window,
                                     unroll=unroll, tight_tile=tight_tile,
-                                    tile_override=tile_override)
+                                    tile_override=tile_override,
+                                    balanced=balanced)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Device brute-sweep layout A/B: halo "window" vs pitch-"window_aligned".
+
+One layout per invocation (fresh-process isolation):
+
+    python scripts/tpu_screen_aligned_ab.py aligned [n_pairs]
+    python scripts/tpu_screen_aligned_ab.py window  [n_pairs]
+
+Builds a synthetic ion library, runs ScreeningEngine.screen_grid with
+device packing on the onehot model, prints one JSON line with pairs/s.
+Timing is the engine's own (fetch-synced: the top-k outputs are pulled to
+host every dispatch).
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import numpy as np
+
+
+def main() -> int:
+    layout = sys.argv[1] if len(sys.argv) > 1 else "aligned"
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+
+    from ionic_mpnn_tpu.config import viscosity_config
+    from ionic_mpnn_tpu.data import iter_batches, plan_capacities
+    from ionic_mpnn_tpu.data.loader import BatchPlan
+    from ionic_mpnn_tpu.data.synthetic import ANION_SMILES, CATION_TEMPLATES
+    from ionic_mpnn_tpu.inference import ScreeningEngine
+    from ionic_mpnn_tpu.models import ViscosityModel
+    from ionic_mpnn_tpu.benchmarks import make_bench_dataset
+
+    # ion library: all template cations x all anions
+    cations = []
+    for kind, fn in CATION_TEMPLATES:
+        for n1 in (1, 2, 3, 4, 6, 8):
+            cations.append(fn(n1, 1) if kind == "im" else fn(n1))
+    cations = sorted(set(cations))
+    anions = [s for _, s, _ in ANION_SMILES]
+    n_temps = max(1, n_pairs // (len(cations) * len(anions)))
+    temps = list(np.linspace(280.0, 380.0, n_temps))
+
+    records, vocab = make_bench_dataset(64)
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                           message_impl="onehot")
+    model = ViscosityModel(cfg)
+    init_plan = plan_capacities(records, batch_size=8,
+                                edge_layout="window_aligned")
+    params = model.init(jax.random.PRNGKey(0),
+                        next(iter_batches(records[:8], init_plan)))
+
+    # engine plan: edge_layout carries the request; screen_grid derives
+    # the sweep plan (aligned only honored on the device path)
+    plan = BatchPlan(batch_size=batch, node_cap=batch * 64,
+                     edge_cap=batch * 192,
+                     edge_layout="window_aligned" if layout == "aligned"
+                     else "window")
+    engine = ScreeningEngine(model, params["params"], vocab, plan)
+    report = engine.screen_grid(
+        cations, anions, temps, top_k=50,
+        device_pack=True, steps_per_call=8, progress_every=500_000,
+    )
+    print(json.dumps({
+        "mode": f"screen-{layout}",
+        "n_screened": report.n_screened,
+        "pairs_per_s": round(report.pairs_per_s, 1),
+        "wall_s": round(report.wall_s, 2),
+        "device_s": round(report.device_s, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,8 +80,11 @@ def test_group_iterator_matches_stacked_batches(encoded_viscosity):
     empty = pack_ion_pair_batch([], batch_size=plan.batch_size,
                                 node_cap=plan.node_cap, edge_cap=plan.edge_cap,
                                 target_key=plan.target_key,
-                                duplicate_edges=plan.duplicate_edges)
-    empty = window_tile_batch(empty, plan.edge_tile, plan.window, aligned=True)
+                                duplicate_edges=plan.duplicate_edges,
+                                anion_node_cap=plan.anion_node_cap,
+                                anion_edge_cap=plan.anion_edge_cap)
+    empty = window_tile_batch(empty, plan.edge_tile, plan.window, aligned=True,
+                              anion_tile=plan.anion_edge_tile)
     groups = list(iter_batch_groups_fast(data, plan, K, shuffle=True, seed=7))
     assert len(groups) == (len(batches) + K - 1) // K
     for gi, (stacked, n_real) in enumerate(groups):

@@ -172,10 +172,12 @@ def test_loader_emits_tiled_batches(data, plans):
     records, _ = data
     _, plan_w = plans
     for batch in iter_batches(records, plan_w, shuffle=True, seed=7):
-        for g in (batch.cation, batch.anion):
+        for side, g in (("cation", batch.cation), ("anion", batch.anion)):
+            node_cap, _, tile, _ = plan_w.side_caps(side)
             assert g.edge_layout == "window"
+            assert g.node_capacity == node_cap
             nw = g.node_capacity // plan_w.window
-            assert g.src.shape[0] == nw * plan_w.edge_tile
+            assert g.src.shape[0] == nw * tile
 
 
 def test_resolve_message_impl_auto():
