@@ -235,15 +235,20 @@ def bench_packed_train_step(
     n_mol = batch_size * 2  # both ions
     from .roofline import train_step_cost
 
-    cost = train_step_cost(
-        node_cap=batch.cation.node_capacity,
-        edge_cap=batch.cation.edge_capacity,
-        n_graphs=batch.cation.n_graphs,
-        atom_dim=cfg.atom_dim,
-        bond_dim=cfg.bond_dim,
-        bond_vocab=vocab.bond_vocab_size,
-        num_steps=num_steps,
-    )
+    # per-side costs: the anion side is sized independently (per-side caps)
+    cost = {"flops": 0.0, "hbm_bytes": 0.0}
+    for g in (batch.cation, batch.anion):
+        c = train_step_cost(
+            node_cap=g.node_capacity,
+            edge_cap=g.edge_capacity,
+            n_graphs=g.n_graphs,
+            atom_dim=cfg.atom_dim,
+            bond_dim=cfg.bond_dim,
+            bond_vocab=vocab.bond_vocab_size,
+            num_steps=num_steps,
+            n_ions=1,
+        )
+        cost = {k: cost[k] + c[k] for k in cost}
     return BenchResult(
         edges_per_s=me * total_steps / dt,
         steps_per_s=total_steps / dt,
