@@ -32,7 +32,15 @@ def main() -> int:
     parser.add_argument("--inner", type=int, default=8,
                         help="train steps folded into one jit call (lax.scan)")
     parser.add_argument("--no-baseline", action="store_true")
-    parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--dtype", default="auto",
+                        choices=["auto", "float32", "bfloat16"],
+                        help="auto = bfloat16 on accelerators (quality-gated "
+                             "at full model dims, RESULTS batteries 15/28), "
+                             "float32 on CPU / for parity runs")
+    parser.add_argument("--window", type=int, default=0,
+                        help="onehot node window (0 = auto: 64 for bf16)")
+    parser.add_argument("--no-balance", action="store_true",
+                        help="disable LPT window balancing")
     parser.add_argument("--message-impl", default="auto",
                         choices=["auto", "gather", "typed", "symmetric", "onehot"],
                         help="auto = onehot on accelerators (battery-9 A/B: "
@@ -53,9 +61,15 @@ def main() -> int:
 
     enable_compilation_cache()
 
-    from ionic_mpnn_tpu.config import resolve_message_impl
+    from ionic_mpnn_tpu.config import (
+        resolve_compute_dtype,
+        resolve_message_impl,
+        resolve_onehot_window,
+    )
 
     args.message_impl = resolve_message_impl(args.message_impl)
+    args.dtype = resolve_compute_dtype(args.dtype)
+    args.window = resolve_onehot_window(args.dtype, args.window)
 
     from ionic_mpnn_tpu.benchmarks import (
         bench_dense_reference,
@@ -85,6 +99,7 @@ def main() -> int:
             records, vocab, batch_size=args.batch_size, num_steps=args.num_steps,
             iters=args.iters, compute_dtype=args.dtype,
             message_impl=args.message_impl, inner=args.inner, model_kind=args.model,
+            window=args.window, balanced=not args.no_balance,
         )
         if args.packed_only:
             print(json.dumps({
@@ -107,7 +122,8 @@ def main() -> int:
                  "--num-steps", str(args.num_steps),
                  "--iters", str(args.iters), "--inner", str(args.inner),
                  "--dtype", args.dtype, "--message-impl", args.message_impl,
-                 "--model", args.model],
+                 "--model", args.model, "--window", str(args.window)]
+                + (["--no-balance"] if args.no_balance else []),
                 capture_output=True, text=True, timeout=2400,
             )
             samples.append(json.loads(proc.stdout.strip().splitlines()[-1]))
@@ -132,6 +148,9 @@ def main() -> int:
         "num_steps": args.num_steps,
         "model": args.model,
         "message_impl": args.message_impl,
+        "compute_dtype": args.dtype,
+        "onehot_window": args.window,
+        "balanced": not args.no_balance,
         "vs_baseline": 1.0,
     }
     if not (args.packed_only or on_cpu or args.repeats <= 1):

@@ -37,11 +37,16 @@ def _eval_task(name, model_cls, records, ckpt_dir, out_dir, target_key,
         raise KeyError(f"checkpoint {ckpt_dir} has no model_config and no default given")
     model = model_cls(cfg)
     # batch construction must match training: parity-mode checkpoints use
-    # the reference's duplicated-edge expansion
+    # the reference's duplicated-edge expansion, and onehot checkpoints
+    # need the window layout at the model's trained window size
+    from ionic_mpnn_tpu.config import edge_layout_for
+
     plan = plan_capacities(records, batch_size=32,
                            duplicate_edges=cfg.parity_mode,
                            with_temperature=with_temperature,
-                           target_key=target_key)
+                           target_key=target_key,
+                           edge_layout=edge_layout_for(cfg.message_impl),
+                           window=getattr(cfg, "onehot_window", 128) or 128)
     params = restored.get("best_params", restored["params"])
     batch_stats = restored.get("best_stats", restored.get("batch_stats"))
     normalizer = restored.get("normalizer") or Normalizer.identity()

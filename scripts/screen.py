@@ -101,14 +101,18 @@ def main() -> int:
 
     # generous static capacities for arbitrary candidates; edge handling
     # must match the checkpoint's training mode (parity = duplicated edges)
+    # and window tiling must match the checkpoint model's onehot window
+    window = getattr(cfg, "onehot_window", 128) or 128
+    node_per = ((96 + window - 1) // window) * window
     plan = BatchPlan(
         batch_size=args.batch_size,
-        node_cap=args.batch_size * 96,  # multiple of the 128 onehot window
+        node_cap=args.batch_size * node_per,  # multiple of the onehot window
         edge_cap=args.batch_size * 256,
         target_key="mp" if args.model == "mp" else "log_eta",
         with_temperature=args.model != "mp",
         duplicate_edges=cfg.parity_mode,
         edge_layout=edge_layout_for(impl),
+        window=window,
     )
     engine = ScreeningEngine(model, restored["params"], vocab, plan,
                              normalizer=restored.get("normalizer"))

@@ -29,7 +29,8 @@ def main() -> int:
 
     from ionic_mpnn_tpu.benchmarks import make_bench_dataset
     from ionic_mpnn_tpu.config import (
-        TrainConfig, edge_layout_for, resolve_message_impl, viscosity_config,
+        TrainConfig, edge_layout_for, resolve_compute_dtype,
+        resolve_message_impl, resolve_onehot_window, viscosity_config,
     )
     from ionic_mpnn_tpu.data import plan_capacities
     from ionic_mpnn_tpu.models import ViscosityModel
@@ -39,12 +40,16 @@ def main() -> int:
     records, vocab = make_bench_dataset(n_records)
     gen_s = time.perf_counter() - t0
     impl = resolve_message_impl("auto")
+    dtype = resolve_compute_dtype("auto")
+    window = resolve_onehot_window(dtype)
     cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
-                           message_impl=impl)
+                           message_impl=impl, compute_dtype=dtype,
+                           onehot_window=window)
     tcfg = TrainConfig(epochs=epochs, batch_size=batch_size,
                        early_stopping_patience=epochs + 1, seed=0)
     plan = plan_capacities(records, batch_size=batch_size,
-                           edge_layout=edge_layout_for(impl))
+                           edge_layout=edge_layout_for(impl),
+                           window=window, balance=True)
     train, dev = records[: n_records - 2048], records[n_records - 2048:]
 
     t1 = time.perf_counter()
@@ -57,6 +62,9 @@ def main() -> int:
         "n_records": n_records,
         "batch_size": batch_size,
         "message_impl": impl,
+        "compute_dtype": dtype,
+        "onehot_window": window,
+        "balanced": plan.balance,
         "edge_layout": plan.edge_layout,
         "gen_s": round(gen_s, 1),
         "epochs": epochs,

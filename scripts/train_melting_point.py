@@ -36,10 +36,18 @@ def main() -> int:
     ap.add_argument("--message-impl", default="auto",
                     choices=["auto", "gather", "typed", "symmetric", "onehot"],
                     help="auto = onehot on accelerators, gather on CPU")
+    ap.add_argument("--dtype", default="auto",
+                    choices=["auto", "float32", "bfloat16"],
+                    help="auto = bfloat16 on accelerators, float32 on CPU")
+    ap.add_argument("--window", type=int, default=0,
+                    help="onehot node window (0 = auto: 64 for bf16, 128 else)")
+    ap.add_argument("--no-balance", action="store_true",
+                    help="disable LPT window balancing (aligned layouts)")
     args = ap.parse_args()
 
     from ionic_mpnn_tpu.config import (
-        TrainConfig, edge_layout_for, melting_point_config, resolve_message_impl,
+        TrainConfig, edge_layout_for, melting_point_config,
+        resolve_compute_dtype, resolve_message_impl, resolve_onehot_window,
     )
     from ionic_mpnn_tpu.data import Vocab, plan_capacities
     from ionic_mpnn_tpu.data.reference_io import load_id_data_npz, load_pickle
@@ -60,10 +68,12 @@ def main() -> int:
     print(f"split: train={len(train)} dev={len(dev)} test={len(test)}")
 
     impl = resolve_message_impl(args.message_impl)
+    dtype = resolve_compute_dtype(args.dtype)
+    window = resolve_onehot_window(dtype, args.window)
     cfg = melting_point_config(
         vocab.atom_vocab_size, vocab.bond_vocab_size,
         atom_dim=args.atom_dim, num_steps=args.num_steps, parity_mode=args.parity_mode,
-        message_impl=impl,
+        message_impl=impl, compute_dtype=dtype, onehot_window=window,
     )
     tcfg = TrainConfig(
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
@@ -74,7 +84,8 @@ def main() -> int:
     plan = plan_capacities(records, batch_size=tcfg.batch_size,
                            with_temperature=False, target_key="mp",
                            duplicate_edges=args.parity_mode,
-                           edge_layout=edge_layout_for(impl))
+                           edge_layout=edge_layout_for(impl),
+                           window=window, balance=not args.no_balance)
     model = MeltingPointModel(cfg)
     result = fit(model, cfg, tcfg, train, dev, plan)
 

@@ -73,8 +73,11 @@ def main() -> int:
         )
     impl = resolve_message_impl(args.message_impl)
     cfg = cfg.replace(message_impl=impl)
+    # batch layout follows the (checkpoint-persisted) model window
+    window = getattr(cfg, "onehot_window", 128) or 128
     plan = plan_capacities(records, batch_size=32, with_temperature=False,
-                           target_key="mp", edge_layout=edge_layout_for(impl))
+                           target_key="mp", edge_layout=edge_layout_for(impl),
+                           window=window, balance=True)
 
     result = train_transfer(
         vis_params, cfg, train, dev, plan,

@@ -35,14 +35,22 @@ def main() -> int:
                     help="fold K train steps into one jitted lax.scan dispatch; 0 = auto (8 on TPU, 1 on CPU)")
     ap.add_argument("--pair-split", action="store_true", help="leak-free pair-level split")
     ap.add_argument("--parity-mode", action="store_true", help="reproduce reference quirks")
-    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--dtype", default="auto",
+                    choices=["auto", "float32", "bfloat16"],
+                    help="auto = bfloat16 on accelerators (quality-gated, "
+                         "RESULTS batteries 15/28), float32 on CPU")
     ap.add_argument("--message-impl", default="auto",
                     choices=["auto", "gather", "typed", "symmetric", "onehot"],
                     help="auto = onehot on accelerators, gather on CPU")
+    ap.add_argument("--window", type=int, default=0,
+                    help="onehot node window (0 = auto: 64 for bf16, 128 else)")
+    ap.add_argument("--no-balance", action="store_true",
+                    help="disable LPT window balancing (aligned layouts)")
     args = ap.parse_args()
 
     from ionic_mpnn_tpu.config import (
-        TrainConfig, edge_layout_for, resolve_message_impl, viscosity_config,
+        TrainConfig, edge_layout_for, resolve_compute_dtype,
+        resolve_message_impl, resolve_onehot_window, viscosity_config,
     )
     from ionic_mpnn_tpu.data import Vocab, plan_capacities
     from ionic_mpnn_tpu.data.reference_io import load_id_data_npz, load_pickle
@@ -69,10 +77,12 @@ def main() -> int:
     print(f"split: train={len(train)} dev={len(dev)} test={len(test)}")
 
     impl = resolve_message_impl(args.message_impl)
+    dtype = resolve_compute_dtype(args.dtype)
+    window = resolve_onehot_window(dtype, args.window)
     cfg = viscosity_config(
         vocab.atom_vocab_size, vocab.bond_vocab_size,
-        num_steps=args.num_steps, parity_mode=args.parity_mode, compute_dtype=args.dtype,
-        message_impl=impl,
+        num_steps=args.num_steps, parity_mode=args.parity_mode,
+        compute_dtype=dtype, message_impl=impl, onehot_window=window,
     )
     tcfg = TrainConfig(
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
@@ -82,7 +92,9 @@ def main() -> int:
     # capacities from ALL records so dev/test molecules can't overflow at eval
     plan = plan_capacities(records, batch_size=tcfg.batch_size,
                            duplicate_edges=args.parity_mode,
-                           edge_layout=edge_layout_for(impl))
+                           edge_layout=edge_layout_for(impl),
+                           window=window,
+                           balance=not args.no_balance)
     model = ViscosityModel(cfg)
     result = fit(model, cfg, tcfg, train, dev, plan)
 
