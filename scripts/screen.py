@@ -47,6 +47,11 @@ def main() -> int:
                     "the full model instead of the exact-math factorized "
                     "path (encode each unique ion once; VFT head closed "
                     "form over the T grid)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="onehot node window override (0 = checkpoint's; "
+                    "bump to 128 to screen ion libraries larger than a "
+                    "w64-trained model's window — the window is execution "
+                    "layout, not parameters, so any value is exact)")
     ap.add_argument("--message-impl", default="auto",
                     choices=["auto", "gather", "typed", "symmetric", "onehot"],
                     help="execution strategy (param-tree-identical, so it can "
@@ -81,6 +86,8 @@ def main() -> int:
         cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size)
     impl = resolve_message_impl(args.message_impl)
     cfg = cfg.replace(message_impl=impl)
+    if args.window:
+        cfg = cfg.replace(onehot_window=args.window)
     model = MeltingPointModel(cfg) if args.model == "mp" else ViscosityModel(cfg)
 
     if args.candidates:
