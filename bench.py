@@ -39,8 +39,8 @@ def main() -> int:
                              "float32 on CPU / for parity runs")
     parser.add_argument("--window", type=int, default=0,
                         help="onehot node window (0 = auto: 64 for bf16)")
-    parser.add_argument("--no-balance", action="store_true",
-                        help="disable LPT window balancing")
+    parser.add_argument("--balance", action="store_true",
+                        help="LPT window balancing (opt-in: measured net loss\n                             on this backend, RESULTS battery 27)")
     parser.add_argument("--message-impl", default="auto",
                         choices=["auto", "gather", "typed", "symmetric", "onehot"],
                         help="auto = onehot on accelerators (battery-9 A/B: "
@@ -99,7 +99,7 @@ def main() -> int:
             records, vocab, batch_size=args.batch_size, num_steps=args.num_steps,
             iters=args.iters, compute_dtype=args.dtype,
             message_impl=args.message_impl, inner=args.inner, model_kind=args.model,
-            window=args.window, balanced=not args.no_balance,
+            window=args.window, balanced=args.balance,
         )
         if args.packed_only:
             print(json.dumps({
@@ -123,7 +123,7 @@ def main() -> int:
                  "--iters", str(args.iters), "--inner", str(args.inner),
                  "--dtype", args.dtype, "--message-impl", args.message_impl,
                  "--model", args.model, "--window", str(args.window)]
-                + (["--no-balance"] if args.no_balance else []),
+                + (["--balance"] if args.balance else []),
                 capture_output=True, text=True, timeout=2400,
             )
             samples.append(json.loads(proc.stdout.strip().splitlines()[-1]))
@@ -150,7 +150,7 @@ def main() -> int:
         "message_impl": args.message_impl,
         "compute_dtype": args.dtype,
         "onehot_window": args.window,
-        "balanced": not args.no_balance,
+        "balanced": args.balance,
         "vs_baseline": 1.0,
     }
     if not (args.packed_only or on_cpu or args.repeats <= 1):

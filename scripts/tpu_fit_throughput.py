@@ -49,7 +49,7 @@ def main() -> int:
                        early_stopping_patience=epochs + 1, seed=0)
     plan = plan_capacities(records, batch_size=batch_size,
                            edge_layout=edge_layout_for(impl),
-                           window=window, balance=True)
+                           window=window)
     train, dev = records[: n_records - 2048], records[n_records - 2048:]
 
     t1 = time.perf_counter()

@@ -41,8 +41,8 @@ def main() -> int:
                     help="auto = bfloat16 on accelerators, float32 on CPU")
     ap.add_argument("--window", type=int, default=0,
                     help="onehot node window (0 = auto: 64 for bf16, 128 else)")
-    ap.add_argument("--no-balance", action="store_true",
-                    help="disable LPT window balancing (aligned layouts)")
+    ap.add_argument("--balance", action="store_true",
+                    help="LPT window balancing (opt-in: measured net loss on the\n                    axon backend, RESULTS battery 27)")
     args = ap.parse_args()
 
     from ionic_mpnn_tpu.config import (
@@ -85,7 +85,7 @@ def main() -> int:
                            with_temperature=False, target_key="mp",
                            duplicate_edges=args.parity_mode,
                            edge_layout=edge_layout_for(impl),
-                           window=window, balance=not args.no_balance)
+                           window=window, balance=args.balance)
     model = MeltingPointModel(cfg)
     result = fit(model, cfg, tcfg, train, dev, plan)
 

@@ -77,7 +77,7 @@ def main() -> int:
     window = getattr(cfg, "onehot_window", 128) or 128
     plan = plan_capacities(records, batch_size=32, with_temperature=False,
                            target_key="mp", edge_layout=edge_layout_for(impl),
-                           window=window, balance=True)
+                           window=window)
 
     result = train_transfer(
         vis_params, cfg, train, dev, plan,
