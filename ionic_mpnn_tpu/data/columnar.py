@@ -152,6 +152,9 @@ def _pack_side(
         node_mask=node_mask, edge_mask=edge_mask,
         n_graphs=plan.batch_size,
         edge_layout=layout,
+        # the C++ packer forward-fills pad ids (sorted readout) except
+        # under explicit balanced placement
+        node_sorted=node_offsets is None,
     )
 
 
@@ -360,6 +363,7 @@ def iter_batch_groups_fast(
                 src=b["src"], dst=b["dst"], node_graph=b["node_graph"],
                 node_local=b["node_local"], node_mask=b["node_mask"],
                 edge_mask=b["edge_mask"], n_graphs=B, edge_layout=layout,
+                node_sorted=not plan.balance_tile,
             )
 
         yield IonPairBatch(

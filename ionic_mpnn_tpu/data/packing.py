@@ -178,6 +178,12 @@ class PackedGraphs:
     node_mask: np.ndarray  # (N,) bool
     edge_mask: np.ndarray  # (E,) bool
     n_graphs: int = struct.field(pytree_node=False)  # static graph-slot count
+    # True when node_graph is non-decreasing along the node axis (pad/gap
+    # rows forward-filled with the previous real id — they're masked, so
+    # any id < n_graphs is correct): lets the per-graph readout use the
+    # sorted segment-sum path. Sequential/aligned packers set it;
+    # balanced placement cannot (window loads don't follow slot order).
+    node_sorted: bool = struct.field(pytree_node=False, default=False)
     # "sorted": dst-sorted COO (default). "window": additionally tiled so
     # window w's edges (dst in [w*WINDOW, (w+1)*WINDOW)) occupy slots
     # [w*T, (w+1)*T) for T = edge_capacity / (node_capacity / WINDOW) —
@@ -357,6 +363,13 @@ def pack_graphs(
         except PallasCapacityError as e:
             raise GraphCapacityError(str(e)) from None
 
+    node_sorted = balance_tile <= 0
+    if node_sorted:
+        # forward-fill pad/gap rows so node_graph is non-decreasing (the
+        # rows are masked; sequential placement keeps real ids ascending)
+        # — enables the sorted readout path (ops/segment.graph_sum_pool).
+        np.maximum.accumulate(node_graph, out=node_graph)
+
     return PackedGraphs(
         atom_ids=atom_ids,
         bond_ids=bond_ids,
@@ -367,6 +380,7 @@ def pack_graphs(
         node_mask=node_mask,
         edge_mask=edge_mask,
         n_graphs=int(n_graphs),
+        node_sorted=node_sorted,
     )
 
 
@@ -517,6 +531,7 @@ def window_tile_edges(
         edge_mask=edge_mask,
         n_graphs=g.n_graphs,
         edge_layout="window_aligned" if aligned else "window",
+        node_sorted=g.node_sorted,
     )
 
 

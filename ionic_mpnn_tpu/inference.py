@@ -250,6 +250,7 @@ class ScreeningEngine:
             atom_ids=a, bond_ids=b, src=s, dst=d, node_graph=ng,
             node_local=nl, node_mask=nm, edge_mask=em,
             n_graphs=self.plan.batch_size,
+            node_sorted=True,  # C++ packer forward-fills pad ids
         )
 
     def _record(self, cation: str, anion: str, t: float) -> Dict[str, Any]:
@@ -396,6 +397,7 @@ class ScreeningEngine:
             atom_ids=a, bond_ids=b, src=s, dst=d, node_graph=ng,
             node_local=nl, node_mask=nm, edge_mask=em,
             n_graphs=plan.batch_size,
+            node_sorted=True,  # C++ packer forward-fills pad ids
         )
 
     def screen_grid(

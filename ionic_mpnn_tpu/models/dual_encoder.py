@@ -103,7 +103,9 @@ class IonEncoder(nn.Module):
                 h, agg, deterministic=deterministic
             )
 
-        pooled = graph_sum_pool(h, graphs.node_graph, graphs.n_graphs, graphs.node_mask)
+        pooled = graph_sum_pool(h, graphs.node_graph, graphs.n_graphs,
+                                graphs.node_mask,
+                                node_sorted=graphs.node_sorted)
         if cfg.ep_axis is not None and cfg.message_impl == "onehot":
             # node-sharded aligned EP (parallel/aligned_partition.py): each
             # shard pooled only its own node rows into the GLOBAL graph

@@ -255,6 +255,16 @@ int pack_graphs_indexed_at(
     }
     node_offset += n;
   }
+  if (!use_offsets) {
+    // forward-fill pad/gap rows so node_graph is non-decreasing (rows
+    // are masked; sequential placement keeps real ids ascending) —
+    // mirror of the Python packer's sorted-readout contract.
+    int32_t running = 0;
+    for (int64_t i = 0; i < node_cap; ++i) {
+      if (node_graph_out[i] > running) running = node_graph_out[i];
+      else node_graph_out[i] = running;
+    }
+  }
   const int64_t n_pad = edge_cap - e_count;
   for (int64_t k = 0; k < n_pad; ++k) {
     const int32_t spread = static_cast<int32_t>(k * node_cap / n_pad);

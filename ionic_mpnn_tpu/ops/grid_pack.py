@@ -209,7 +209,9 @@ def pack_side_on_device(
         local = jnp.clip(i - off[gc], 0, None)
     a_idx = jnp.clip(pool.a_start[sel[gc]] + local, 0, pool.atoms.shape[0] - 1)
     atom_ids = jnp.where(valid, pool.atoms[a_idx] + 1, 0).astype(jnp.int32)
-    node_graph = jnp.where(valid, gc, 0).astype(jnp.int32)
+    # pad/gap rows keep the clipped running graph id (they're masked, and
+    # non-decreasing ids enable the sorted readout — node_sorted below)
+    node_graph = gc.astype(jnp.int32)
     node_local = jnp.where(valid, local, 0).astype(jnp.int32)
 
     # ---- edges: COO with global node indices (globally dst-sorted) -----
@@ -248,6 +250,7 @@ def pack_side_on_device(
         node_mask=valid,
         edge_mask=evalid,
         n_graphs=B,
+        node_sorted=True,
     )
 
 
@@ -316,6 +319,7 @@ def window_tile_on_device(
         # (fixed-pitch placement with pitch | window and pitch >= every
         # molecule) — the onehot op then runs halo-free
         edge_layout="window_aligned" if aligned else "window",
+        node_sorted=g.node_sorted,
     )
 
 

@@ -44,13 +44,21 @@ def graph_sum_pool(
     node_graph: jnp.ndarray,  # (N,) int32 graph slot ids
     n_graphs: int,
     node_mask: jnp.ndarray,  # (N,) bool
+    node_sorted: bool = False,
 ) -> jnp.ndarray:
     """Masked per-graph sum readout (reference ``GlobalSumPool``,
-    ``models/layers.py:159-164``: mask = atom_ids > 0)."""
+    ``models/layers.py:159-164``: mask = atom_ids > 0).
+
+    ``node_sorted=True`` (PackedGraphs.node_sorted: the packer
+    forward-filled pad/gap rows so ids are non-decreasing) takes the
+    sorted segment-sum path — per-row scatter is the weak op on this
+    backend, and unsorted-id pools were implicated in the balanced-mode
+    regression (RESULTS battery 27/29). NEVER set it for ids that are
+    not actually non-decreasing (silent wrong results).
+    """
     weighted = node_states * node_mask[:, None].astype(node_states.dtype)
-    # node_graph is NOT fully sorted: trailing pad nodes carry graph id 0
-    # after real nodes with higher ids — never pass indices_are_sorted here.
-    return jax.ops.segment_sum(weighted, node_graph, num_segments=n_graphs)
+    return jax.ops.segment_sum(weighted, node_graph, num_segments=n_graphs,
+                               indices_are_sorted=node_sorted)
 
 
 def graph_mean_pool(

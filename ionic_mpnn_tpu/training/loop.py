@@ -327,8 +327,11 @@ def fit(
         edge_cap=plan.edge_cap, target_key=plan.target_key,
         with_temperature=plan.with_temperature,
         duplicate_edges=plan.duplicate_edges,
+        node_align=plan.node_align,
+        balance_tile=plan.balance_tile,  # match real batches' static aux
         anion_node_cap=plan.anion_node_cap,
         anion_edge_cap=plan.anion_edge_cap,
+        anion_balance_tile=plan.side_caps("anion")[3],
     )
     if plan.edge_layout in ("window", "window_aligned"):
         # group-padding batches must share the real batches' (static) edge

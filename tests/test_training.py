@@ -70,7 +70,11 @@ def test_viscosity_training_learns(encoded_viscosity):
     # only in the H nodes, so substitution patterns need >=2 hops to reach
     # heavy atoms (the reference has the same property).
     cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size, num_steps=3)
-    tcfg = TrainConfig(epochs=60, batch_size=32, early_stopping_patience=60, seed=0)
+    # 120 epochs: at 60 the outcome is fp-roll-sensitive (any benign
+    # change to batch shapes/summation order can land a 0.38 or a 0.85
+    # dev R2 — measured across seeds in round 3); by 120 every
+    # configuration tried converges well past the threshold.
+    tcfg = TrainConfig(epochs=120, batch_size=32, early_stopping_patience=120, seed=0)
     plan = plan_capacities(train, batch_size=tcfg.batch_size)
     model = ViscosityModel(cfg)
     result = fit(model, cfg, tcfg, train, dev, plan, verbose=False)
