@@ -62,6 +62,10 @@ class BatchPlan:
     anion_node_cap: int = 0
     anion_edge_cap: int = 0
     anion_edge_tile: int = 0
+    # device-grid sweeps only: per-side fixed pitch for the aligned layout
+    # (anions are typically much smaller, so their pitch — and with it the
+    # whole anion node plane — shrinks independently). 0 = shared `pitch`.
+    anion_pitch: int = 0
 
     @property
     def node_align(self) -> int:
@@ -82,6 +86,12 @@ class BatchPlan:
                     tile, bal)
         return (self.node_cap, self.edge_cap, self.edge_tile,
                 self.balance_tile)
+
+    def side_pitch(self, side: str) -> int:
+        """Fixed aligned-placement pitch for one ion side (device sweeps)."""
+        if side == "anion" and self.anion_pitch:
+            return self.anion_pitch
+        return self.pitch
 
 
 def _record_sizes(rec: Dict[str, Any], duplicate_edges: bool) -> tuple:

@@ -161,7 +161,8 @@ class ScreeningEngine:
             import dataclasses
 
             plan = dataclasses.replace(plan, edge_layout="window",
-                                       edge_tile=0)
+                                       edge_tile=0, anion_edge_tile=0,
+                                       anion_pitch=0)
         self.plan = plan
         self.normalizer = normalizer
         self.mesh = mesh
@@ -225,7 +226,7 @@ class ScreeningEngine:
             self._graph_cache[smiles] = g
         return g
 
-    def _pack_native(self, graphs) -> PackedGraphs:
+    def _pack_native(self, graphs, side: str = "cation") -> PackedGraphs:
         """Concatenate cached per-molecule arrays, pack with the C++ packer."""
         atom_off = np.zeros(len(graphs) + 1, np.int64)
         edge_off = np.zeros(len(graphs) + 1, np.int64)
@@ -240,9 +241,10 @@ class ScreeningEngine:
             if any(len(g["_edges"]) for g in graphs)
             else np.zeros((0, 2), np.int32)
         )
+        node_cap, edge_cap, _, _ = self.plan.side_caps(side)
         arrays = native.pack_graphs_native(
             atoms, atom_off, bonds, edges, edge_off,
-            self.plan.node_cap, self.plan.edge_cap,
+            node_cap, edge_cap,
             duplicate_edges=self.plan.duplicate_edges,
         )
         a, b, s, d, ng, nl, nm, em = arrays
@@ -275,7 +277,7 @@ class ScreeningEngine:
             mask[:n] = 1.0
             batch = IonPairBatch(
                 cation=self._pack_native(cat_graphs),
-                anion=self._pack_native(an_graphs),
+                anion=self._pack_native(an_graphs, side="anion"),
                 temperature=temp,
                 y=np.zeros(B, np.float32),
                 sample_mask=mask,
@@ -290,21 +292,26 @@ class ScreeningEngine:
                 target_key=self.plan.target_key,
                 with_temperature=self.plan.with_temperature,
                 duplicate_edges=self.plan.duplicate_edges,
+                anion_node_cap=self.plan.anion_node_cap,
+                anion_edge_cap=self.plan.anion_edge_cap,
             )
         if self.plan.edge_layout == "window":
             from .data.packing import window_tile_batch
 
-            batch = window_tile_batch(batch, self._edge_tile(), self.plan.window)
+            batch = window_tile_batch(batch, self._edge_tile(),
+                                      self.plan.window,
+                                      anion_tile=self._edge_tile("anion"))
         return batch
 
-    def _edge_tile(self) -> int:
+    def _edge_tile(self, side: str = "cation") -> int:
         """Static per-window edge tile for window-layout batches. Uses the
-        plan's tile when set; otherwise an absolute chemical bound — every
-        real edge is counted at its dst, so a window holds at most
-        ``window × max-atom-degree (6, hypervalent) × duplication`` edges.
-        The host tiler still RAISES on overflow, never truncates."""
-        if self.plan.edge_tile > 0:
-            return self.plan.edge_tile
+        plan's (per-side) tile when set; otherwise an absolute chemical
+        bound — every real edge is counted at its dst, so a window holds at
+        most ``window × max-atom-degree (6, hypervalent) × duplication``
+        edges. The host tiler still RAISES on overflow, never truncates."""
+        _, _, tile, _ = self.plan.side_caps(side)
+        if tile > 0:
+            return tile
         dup = 2 if self.plan.duplicate_edges else 1
         return self.plan.window * 6 * dup
 
@@ -385,11 +392,13 @@ class ScreeningEngine:
     # pipeline + on-device top-k
     # ------------------------------------------------------------------
 
-    def _pack_side_cols(self, cols, plan: BatchPlan) -> PackedGraphs:
+    def _pack_side_cols(self, cols, plan: BatchPlan,
+                        side: str = "cation") -> PackedGraphs:
         atoms, a_off, bonds, edges, e_off = cols
+        node_cap, edge_cap, _, _ = plan.side_caps(side)
         arrays = native.pack_graphs_native(
             atoms, a_off, bonds, edges, e_off,
-            plan.node_cap, plan.edge_cap,
+            node_cap, edge_cap,
             duplicate_edges=plan.duplicate_edges,
         )
         a, b, s, d, ng, nl, nm, em = arrays
@@ -411,8 +420,15 @@ class ScreeningEngine:
         progress_every: int = 0,
         device_pack: bool = True,
         steps_per_call: int = 8,
+        per_side_caps: bool = True,
     ) -> "SweepReport":
         """Sweep the full cation x anion x T grid; returns the global top-k.
+
+        ``per_side_caps`` (default) sizes the anion side's node/edge planes
+        (and, on the aligned device layout, its placement pitch) by the
+        anion pool's OWN statistics instead of the shared cation-or-max
+        caps — same argument as the train step's per-side capacities
+        (battery 27). ``False`` restores the shared sizing (A/B control).
 
         Default path (``device_pack=True``): the unique-ion pools are
         uploaded to the device ONCE and every batch is reconstructed
@@ -464,13 +480,33 @@ class ScreeningEngine:
 
         dup = 2 if self.plan.duplicate_edges else 1  # parity fwd+rev
         # window-tiled edge layout when the model runs the all-MXU onehot
-        # message path; per-window tile sized by the proven pool bound
+        # message path; per-window tile sized by the proven pool bound.
+        # Every capacity below is PER-SIDE: anions are typically ~3x
+        # smaller than cations, so sizing both sides by the shared max
+        # wastes most of the anion plane — the same argument that took the
+        # train step 11.88 → 7.26 ms (per-side caps, RESULTS battery 27).
         layout = self.plan.edge_layout
         window = self.plan.window
-        edge_tile = 0
-        pitch = 0
+        edge_tile = an_edge_tile = 0
+        pitch = an_pitch = 0
         node_mult = 128
-        node_cap = None
+        node_cap = an_node_cap = None
+        if per_side_caps:
+            cat_a_stats, cat_e_stats = cat_pool.a_len, cat_pool.e_len
+            an_a_stats, an_e_stats = an_pool.a_len, an_pool.e_len
+            bm_cat_a = _batch_max(cat_pool.a_len[ci_all])
+            bm_an_a = _batch_max(an_pool.a_len[ai_all])
+            bm_cat_e = _batch_max(cat_pool.e_len[ci_all])
+            bm_an_e = _batch_max(an_pool.e_len[ai_all])
+        else:  # shared (cation-or-max) sizing — the A/B control
+            cat_a_stats = an_a_stats = np.concatenate(
+                [cat_pool.a_len, an_pool.a_len])
+            cat_e_stats = an_e_stats = np.concatenate(
+                [cat_pool.e_len, an_pool.e_len])
+            bm_cat_a = bm_an_a = max(_batch_max(cat_pool.a_len[ci_all]),
+                                     _batch_max(an_pool.a_len[ai_all]))
+            bm_cat_e = bm_an_e = max(_batch_max(cat_pool.e_len[ci_all]),
+                                     _batch_max(an_pool.e_len[ai_all]))
         if self._aligned_requested and device_pack:
             # device sweeps CAN run the aligned (halo-free) layout: fixed
             # node pitch makes the aligned offsets closed-form (the greedy
@@ -479,35 +515,39 @@ class ScreeningEngine:
             # ion's edges; src context shrinks 3× vs the halo layout.
             from .ops.grid_pack import pool_aligned_tile_bound, pool_pitch
 
-            a_all = np.concatenate([cat_pool.a_len, an_pool.a_len])
-            e_all = dup * np.concatenate([cat_pool.e_len, an_pool.e_len])
-            pitch = pool_pitch(a_all, window)
-            if (B * pitch) % window == 0:
+            pitch = pool_pitch(cat_a_stats, window)
+            an_pitch = pool_pitch(an_a_stats, window)
+            if (B * pitch) % window == 0 and (B * an_pitch) % window == 0:
                 layout = "window_aligned"
-                edge_tile = pool_aligned_tile_bound(e_all, window, pitch)
+                edge_tile = pool_aligned_tile_bound(
+                    dup * cat_e_stats, window, pitch)
+                an_edge_tile = pool_aligned_tile_bound(
+                    dup * an_e_stats, window, an_pitch)
                 node_cap = B * pitch  # exact: pack_side_on_device contract
+                an_node_cap = B * an_pitch
             else:  # tiny batches: fall back to the halo layout
-                pitch = 0
+                pitch = an_pitch = 0
         if layout == "window":
             from .ops.grid_pack import pool_window_tile_bound
 
             node_mult = max(node_mult, window)
             a_all = np.concatenate([cat_pool.a_len, an_pool.a_len])
-            e_all = dup * np.concatenate([cat_pool.e_len, an_pool.e_len])
             if a_all.size and int(a_all.max()) > window:
                 raise ValueError(
                     f"onehot window {window} < largest ion "
                     f"({int(a_all.max())} atoms) — locality contract broken"
                 )
-            edge_tile = pool_window_tile_bound(a_all, e_all, window)
+            edge_tile = pool_window_tile_bound(
+                cat_a_stats, dup * cat_e_stats, window)
+            an_edge_tile = pool_window_tile_bound(
+                an_a_stats, dup * an_e_stats, window)
         if node_cap is None:
-            node_cap = round_up(max(_batch_max(cat_pool.a_len[ci_all]),
-                                    _batch_max(an_pool.a_len[ai_all])), node_mult)
+            node_cap = round_up(bm_cat_a, node_mult)
+            an_node_cap = round_up(bm_an_a, node_mult)
         plan = BatchPlan(
             batch_size=B,
             node_cap=node_cap,
-            edge_cap=round_up(dup * max(_batch_max(cat_pool.e_len[ci_all]),
-                                        _batch_max(an_pool.e_len[ai_all])), 128),
+            edge_cap=round_up(dup * bm_cat_e, 128),
             duplicate_edges=self.plan.duplicate_edges,
             with_temperature=self.plan.with_temperature,
             target_key=self.plan.target_key,
@@ -515,6 +555,10 @@ class ScreeningEngine:
             edge_tile=edge_tile,
             window=window,
             pitch=pitch,
+            anion_node_cap=an_node_cap,
+            anion_edge_cap=round_up(dup * bm_an_e, 128),
+            anion_edge_tile=an_edge_tile,
+            anion_pitch=an_pitch,
         )
         del gids, ci_all, ai_all
         k_batch = int(min(top_k, B))
@@ -538,7 +582,8 @@ class ScreeningEngine:
             mask[:n] = 1.0
             batch = IonPairBatch(
                 cation=self._pack_side_cols(cat_pool.gather(ci), plan),
-                anion=self._pack_side_cols(an_pool.gather(ai), plan),
+                anion=self._pack_side_cols(an_pool.gather(ai), plan,
+                                           side="anion"),
                 temperature=temp,
                 y=np.zeros(B, np.float32),
                 sample_mask=mask,
@@ -546,7 +591,9 @@ class ScreeningEngine:
             if plan.edge_layout == "window":
                 from .data.packing import window_tile_batch
 
-                batch = window_tile_batch(batch, plan.edge_tile, plan.window)
+                batch = window_tile_batch(
+                    batch, plan.edge_tile, plan.window,
+                    anion_tile=plan.anion_edge_tile)
             return batch, ci, ai, ti
 
         q: "queue.Queue" = queue.Queue(maxsize=pack_ahead)
@@ -915,6 +962,10 @@ class ScreeningEngine:
                 with_temperature=plan.with_temperature,
                 edge_layout=plan.edge_layout, edge_tile=plan.edge_tile,
                 window=plan.window, pitch=plan.pitch,
+                anion_node_cap=plan.anion_node_cap,
+                anion_edge_cap=plan.anion_edge_cap,
+                anion_edge_tile=plan.anion_edge_tile,
+                anion_pitch=plan.anion_pitch,
             )
             pred = self._fwd(v, batch)
             score = jnp.where(

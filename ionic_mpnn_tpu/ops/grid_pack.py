@@ -388,6 +388,10 @@ def grid_batch_on_device(
     edge_tile: int = 0,
     window: int = 128,
     pitch: int = 0,
+    anion_node_cap: int = 0,
+    anion_edge_cap: int = 0,
+    anion_edge_tile: int = 0,
+    anion_pitch: int = 0,
 ) -> IonPairBatch:
     """Materialize candidates ``[g0, g0+B)`` of the cation-fastest grid
     enumeration as a full :class:`IonPairBatch`, on device, from the
@@ -410,6 +414,12 @@ def grid_batch_on_device(
     consecutive candidates mix molecule sizes). Out-of-range slots
     (``gid >= total``) get ion 0 and ``sample_mask == 0`` — the last
     partial batch reuses the same compiled program.
+
+    The ``anion_*`` overrides size that side INDEPENDENTLY (0 = shared):
+    anions are typically ~3x smaller than cations, so a per-side pitch /
+    node_cap / edge_tile shrinks the anion forward's node and edge planes
+    by the same argument that took the train step 11.88 → 7.26 ms/step
+    (per-side batch capacities, RESULTS battery 27).
     """
     B = batch_size
     C, A = n_cations, n_anions
@@ -420,21 +430,26 @@ def grid_batch_on_device(
     ai = (safe // C) % A
     ti = safe // (C * A)
     aligned = edge_layout == "window_aligned"
-    if aligned and pitch <= 0:
+    an_node_cap = anion_node_cap or node_cap
+    an_edge_cap = anion_edge_cap or edge_cap
+    an_tile = anion_edge_tile or edge_tile
+    an_pitch = anion_pitch or pitch
+    if aligned and (pitch <= 0 or an_pitch <= 0):
         raise ValueError("edge_layout='window_aligned' needs pitch > 0 "
                          "(use pool_pitch)")
-    use_pitch = pitch if aligned else 0
     cation = pack_side_on_device(cat_pool, ci, node_cap, edge_cap,
-                                 duplicate_edges, pitch=use_pitch)
-    anion = pack_side_on_device(an_pool, ai, node_cap, edge_cap,
-                                duplicate_edges, pitch=use_pitch)
+                                 duplicate_edges,
+                                 pitch=pitch if aligned else 0)
+    anion = pack_side_on_device(an_pool, ai, an_node_cap, an_edge_cap,
+                                duplicate_edges,
+                                pitch=an_pitch if aligned else 0)
     if edge_layout in ("window", "window_aligned"):
-        if edge_tile <= 0:
+        if edge_tile <= 0 or an_tile <= 0:
             raise ValueError(f"edge_layout={edge_layout!r} needs edge_tile > 0 "
                              "(use pool_window_tile_bound / "
                              "pool_aligned_tile_bound)")
         cation = window_tile_on_device(cation, edge_tile, window, aligned)
-        anion = window_tile_on_device(anion, edge_tile, window, aligned)
+        anion = window_tile_on_device(anion, an_tile, window, aligned)
     temperature = jnp.zeros((B, 1), jnp.float32)
     if with_temperature:
         temperature = jnp.where(in_range[:, None], temps[ti][:, None], 0.0)

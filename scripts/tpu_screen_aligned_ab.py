@@ -6,6 +6,10 @@ One layout per invocation (fresh-process isolation):
     python scripts/tpu_screen_aligned_ab.py aligned [n_pairs]
     python scripts/tpu_screen_aligned_ab.py window  [n_pairs]
 
+Append "-shared" to the layout (aligned-shared / window-shared) to disable
+per-side capacities — the round-3 A/B control (anion planes sized by the
+shared cation-or-max caps, the pre-battery-28 behavior).
+
 Builds a synthetic ion library, runs ScreeningEngine.screen_grid with
 device packing on the onehot model, prints one JSON line with pairs/s.
 Timing is the engine's own (fetch-synced: the top-k outputs are pulled to
@@ -28,6 +32,8 @@ import numpy as np
 
 def main() -> int:
     layout = sys.argv[1] if len(sys.argv) > 1 else "aligned"
+    per_side = not layout.endswith("-shared")
+    layout = layout.removesuffix("-shared")
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
 
@@ -68,9 +74,10 @@ def main() -> int:
     report = engine.screen_grid(
         cations, anions, temps, top_k=50,
         device_pack=True, steps_per_call=8, progress_every=500_000,
+        per_side_caps=per_side,
     )
     print(json.dumps({
-        "mode": f"screen-{layout}",
+        "mode": f"screen-{layout}" + ("" if per_side else "-shared"),
         "n_screened": report.n_screened,
         "pairs_per_s": round(report.pairs_per_s, 1),
         "wall_s": round(report.wall_s, 2),

@@ -440,3 +440,130 @@ def test_pitch_pack_is_aligned_and_matches_dense_semantics(encoded_viscosity):
     m2 = np.asarray(tiled.edge_mask)
     assert np.array_equal(np.asarray(tiled.src)[m2] // 128,
                           np.asarray(tiled.dst)[m2] // 128)
+
+
+def test_grid_batch_per_side_caps_match_shared(encoded_viscosity):
+    """Per-side anion caps (smaller node/edge planes + own pitch) carry the
+    identical anion content as the shared-cap pack — round-3 screening
+    per-side capacities (same argument as the train step's battery-27 win)."""
+    vocab = encoded_viscosity["vocab"]
+    cat = IonPool(IONS[:3], vocab)
+    an = IonPool(IONS[3:], vocab)
+    cat_d, an_d = device_pool(cat), device_pool(an)
+    temps = jnp.asarray(np.array([300.0], np.float32))
+    kw = dict(n_cations=3, n_anions=3, total=9, batch_size=8)
+
+    shared = jax.jit(lambda g0: grid_batch_on_device(
+        cat_d, an_d, temps, g0, node_cap=256, edge_cap=512, **kw,
+    ))(jnp.int32(0))
+    per_side = jax.jit(lambda g0: grid_batch_on_device(
+        cat_d, an_d, temps, g0, node_cap=256, edge_cap=512,
+        anion_node_cap=128, anion_edge_cap=256, **kw,
+    ))(jnp.int32(0))
+
+    # the anion plane actually shrinks...
+    assert per_side.anion.atom_ids.shape[0] == 128
+    assert per_side.anion.src.shape[0] == 256
+    assert per_side.cation.atom_ids.shape == shared.cation.atom_ids.shape
+    # ...and carries identical real content (masked equality)
+    for field in ("atom_ids", "node_graph", "node_local"):
+        nm_s = np.asarray(shared.anion.node_mask, bool)
+        nm_p = np.asarray(per_side.anion.node_mask, bool)
+        np.testing.assert_array_equal(
+            np.asarray(getattr(shared.anion, field))[nm_s],
+            np.asarray(getattr(per_side.anion, field))[nm_p], err_msg=field)
+    em_s = np.asarray(shared.anion.edge_mask, bool)
+    em_p = np.asarray(per_side.anion.edge_mask, bool)
+    for field in ("src", "dst", "bond_ids"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(shared.anion, field))[em_s],
+            np.asarray(getattr(per_side.anion, field))[em_p], err_msg=field)
+
+
+def test_grid_batch_per_side_aligned_pitch(encoded_viscosity):
+    """Aligned layout with a PER-SIDE pitch: the anion side runs at its own
+    (smaller) pitch and window tiles, still halo-free and content-equal."""
+    from ionic_mpnn_tpu.ops.grid_pack import (
+        pool_aligned_tile_bound,
+        pool_pitch,
+    )
+
+    vocab = encoded_viscosity["vocab"]
+    cat = IonPool(IONS[:3], vocab)
+    an = IonPool(IONS[3:], vocab)
+    cat_d, an_d = device_pool(cat), device_pool(an)
+    temps = jnp.asarray(np.array([300.0], np.float32))
+    window, B = 32, 8
+    p_c = pool_pitch(cat.a_len, window)
+    p_a = pool_pitch(an.a_len, window)
+    assert p_a < p_c  # the premise: anions are smaller
+    t_c = pool_aligned_tile_bound(cat.e_len, window, p_c)
+    t_a = pool_aligned_tile_bound(an.e_len, window, p_a)
+    kw = dict(n_cations=3, n_anions=3, total=9, batch_size=B,
+              edge_layout="window_aligned", window=window)
+
+    batch = jax.jit(lambda g0: grid_batch_on_device(
+        cat_d, an_d, temps, g0,
+        node_cap=B * p_c, edge_cap=512, edge_tile=t_c, pitch=p_c,
+        anion_node_cap=B * p_a, anion_edge_cap=256,
+        anion_edge_tile=t_a, anion_pitch=p_a, **kw,
+    ))(jnp.int32(0))
+    assert batch.anion.atom_ids.shape[0] == B * p_a < B * p_c
+    assert batch.anion.edge_layout == "window_aligned"
+    # halo-free on BOTH sides at their own pitch: src/dst share a window
+    for side in (batch.cation, batch.anion):
+        m = np.asarray(side.edge_mask, bool)
+        assert np.array_equal(np.asarray(side.src)[m] // window,
+                              np.asarray(side.dst)[m] // window)
+    # anion content matches a shared-pitch pack of the same selection
+    shared = jax.jit(lambda g0: grid_batch_on_device(
+        cat_d, an_d, temps, g0,
+        node_cap=B * p_c, edge_cap=512, edge_tile=t_c, pitch=p_c, **kw,
+    ))(jnp.int32(0))
+    nm_s = np.asarray(shared.anion.node_mask, bool)
+    nm_p = np.asarray(batch.anion.node_mask, bool)
+    np.testing.assert_array_equal(
+        np.asarray(shared.anion.atom_ids)[nm_s],
+        np.asarray(batch.anion.atom_ids)[nm_p])
+    em_s = np.asarray(shared.anion.edge_mask, bool)
+    em_p = np.asarray(batch.anion.edge_mask, bool)
+    # same per-(graph, local) edge multiset on the anion side
+    def rel(g, m):
+        ng = np.asarray(g.node_graph)
+        nl = np.asarray(g.node_local)
+        s, d = np.asarray(g.src)[m], np.asarray(g.dst)[m]
+        return sorted(zip(ng[d].tolist(), nl[s].tolist(), nl[d].tolist(),
+                          np.asarray(g.bond_ids)[m].tolist()))
+    assert rel(shared.anion, em_s) == rel(batch.anion, em_p)
+
+
+@pytest.mark.parametrize("layout", ["sorted", "window", "window_aligned"])
+def test_screen_grid_per_side_matches_shared(encoded_viscosity, layout):
+    """per_side_caps=True (default) == per_side_caps=False on every device
+    layout — capacities change, math doesn't."""
+    from ionic_mpnn_tpu.data.loader import BatchPlan
+    from ionic_mpnn_tpu.inference import ScreeningEngine
+    from ionic_mpnn_tpu.models import ViscosityModel
+
+    base = _engine(encoded_viscosity)
+    if layout == "sorted":
+        eng = base
+    else:
+        cfg_oh = base.model.cfg.replace(message_impl="onehot")
+        plan = BatchPlan(batch_size=base.plan.batch_size,
+                         node_cap=base.plan.node_cap,
+                         edge_cap=base.plan.edge_cap, edge_layout=layout)
+        eng = ScreeningEngine(ViscosityModel(cfg_oh),
+                              base._variables["params"], base.vocab, plan)
+    cations, anions, temps = IONS[:3], IONS[3:], [290.0, 360.0]
+    ps = eng.screen_grid(cations, anions, temps, top_k=7,
+                         device_pack=True, steps_per_call=2)
+    sh = eng.screen_grid(cations, anions, temps, top_k=7,
+                         device_pack=True, steps_per_call=2,
+                         per_side_caps=False)
+    assert [(r.cation, r.anion, r.temperature) for r in ps.results] == \
+           [(r.cation, r.anion, r.temperature) for r in sh.results]
+    np.testing.assert_allclose(
+        [r.prediction for r in ps.results],
+        [r.prediction for r in sh.results], rtol=2e-5, atol=1e-6,
+    )
