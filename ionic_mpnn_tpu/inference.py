@@ -124,6 +124,10 @@ class SweepReport:
     skipped: List[Tuple[str, str]]
     producer_wait_s: float = 0.0  # consumer time blocked on host packing
     device_s: float = 0.0  # dispatch + device forward + top-k transfer
+    # pairs/s measured AFTER the first dispatch completes — excludes jit
+    # compile (~minutes cold through the remote-compile tunnel) and the
+    # pool upload; 0.0 when the sweep fit in a single dispatch
+    steady_pairs_per_s: float = 0.0
 
 
 class ScreeningEngine:
@@ -1011,6 +1015,7 @@ class ScreeningEngine:
         pending = None
         done = 0
         device_s = 0.0
+        t_warm = done_warm = 0.0  # clock/progress after the FIRST sync
         for g0 in range(0, total, B * K):
             t_d = _time.perf_counter()
             out = fn(self._variables, cat_d, an_d, temps_d, jnp.int32(g0))
@@ -1020,6 +1025,12 @@ class ScreeningEngine:
                 vals_h, gids_h = np.asarray(pending[0]), np.asarray(pending[1])
                 device_s += _time.perf_counter() - t_d
                 merge(vals_h, gids_h)
+                if t_warm == 0.0:
+                    # first completed dispatch: everything before this point
+                    # is dominated by jit compile + pool upload on cold
+                    # caches — steady-state rate starts here
+                    t_warm = _time.perf_counter()
+                    done_warm = g0  # candidates the synced dispatch covered
             else:
                 device_s += _time.perf_counter() - t_d
             pending = out
@@ -1031,6 +1042,9 @@ class ScreeningEngine:
         if pending is not None:
             merge(np.asarray(pending[0]), np.asarray(pending[1]))
         dt = _time.perf_counter() - t0
+        steady = 0.0
+        if t_warm and total > done_warm:
+            steady = (total - done_warm) / (_time.perf_counter() - t_warm)
 
         results = []
         for score, gid in sorted(heap, reverse=True):
@@ -1050,4 +1064,5 @@ class ScreeningEngine:
             skipped=cat_pool.skipped + an_pool.skipped,
             producer_wait_s=0.0,
             device_s=device_s,
+            steady_pairs_per_s=steady,
         )

@@ -36,6 +36,8 @@ def main() -> int:
     layout = layout.removesuffix("-shared")
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    dtype = sys.argv[4] if len(sys.argv) > 4 else "auto"  # auto|float32|bfloat16
+    window = int(sys.argv[5]) if len(sys.argv) > 5 else 0  # 0 = auto
 
     from ionic_mpnn_tpu.config import viscosity_config
     from ionic_mpnn_tpu.data import iter_batches, plan_capacities
@@ -56,8 +58,13 @@ def main() -> int:
     temps = list(np.linspace(280.0, 380.0, n_temps))
 
     records, vocab = make_bench_dataset(64)
+    from ionic_mpnn_tpu.config import resolve_compute_dtype, resolve_onehot_window
+
+    cdtype = resolve_compute_dtype(dtype)
+    win = resolve_onehot_window(cdtype, window)
     cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
-                           message_impl="onehot")
+                           message_impl="onehot", compute_dtype=cdtype,
+                           onehot_window=win)
     model = ViscosityModel(cfg)
     init_plan = plan_capacities(records, batch_size=8,
                                 edge_layout="window_aligned")
@@ -67,7 +74,7 @@ def main() -> int:
     # engine plan: edge_layout carries the request; screen_grid derives
     # the sweep plan (aligned only honored on the device path)
     plan = BatchPlan(batch_size=batch, node_cap=batch * 64,
-                     edge_cap=batch * 192,
+                     edge_cap=batch * 192, window=win,
                      edge_layout="window_aligned" if layout == "aligned"
                      else "window")
     engine = ScreeningEngine(model, params["params"], vocab, plan)
@@ -78,10 +85,12 @@ def main() -> int:
     )
     print(json.dumps({
         "mode": f"screen-{layout}" + ("" if per_side else "-shared"),
+        "dtype": cdtype, "window": win,
         "n_screened": report.n_screened,
         "pairs_per_s": round(report.pairs_per_s, 1),
         "wall_s": round(report.wall_s, 2),
         "device_s": round(report.device_s, 2),
+        "steady_pairs_per_s": round(report.steady_pairs_per_s, 1),
     }))
     return 0
 
