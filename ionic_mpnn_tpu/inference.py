@@ -995,8 +995,16 @@ class ScreeningEngine:
 
         fn = jax.jit(dispatch)
         t0 = _time.perf_counter()
-        cat_d = device_pool(cat_pool, duplicate_edges=plan.duplicate_edges)
-        an_d = device_pool(an_pool, duplicate_edges=plan.duplicate_edges)
+        # aligned sweeps build pools with molecule-major padded planes:
+        # the batch then packs in B row-gathers (pack_side_padded) instead
+        # of per-element gathers — the element-gather pack measured 91.5
+        # ms/batch at batch 4096, ~20× the forward (battery 30)
+        aligned = plan.edge_layout == "window_aligned"
+        cat_d = device_pool(cat_pool, duplicate_edges=plan.duplicate_edges,
+                            pitch=plan.pitch if aligned else 0)
+        an_d = device_pool(an_pool, duplicate_edges=plan.duplicate_edges,
+                           pitch=(plan.anion_pitch or plan.pitch)
+                           if aligned else 0)
         temps_d = jnp.asarray(temps, jnp.float32)
 
         heap: List[Tuple[float, int]] = []  # (score, gid); score: higher=better

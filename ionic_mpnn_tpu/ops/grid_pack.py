@@ -47,6 +47,8 @@ __all__ = [
     "DevicePool",
     "device_pool",
     "pack_side_on_device",
+    "pack_side_padded",
+    "padded_aligned_tile",
     "grid_batch_on_device",
     "window_tile_on_device",
     "pool_window_tile_bound",
@@ -62,6 +64,14 @@ class DevicePool:
     ``edges`` hold *local* (within-molecule) atom indices; ``atoms`` /
     ``bonds`` hold raw vocab ids (the +1 pad offset is applied at pack
     time, same as the host packer).
+
+    ``atoms_p``/``bonds_p``/``edges_p`` (present when the pool was built
+    with ``pitch > 0``) are the MOLECULE-MAJOR padded planes: ion ``i``'s
+    atoms padded to row ``atoms_p[i]`` of shape (pitch,) and its edges to
+    rows of shape (em,). Packing a pitch-placed batch from these is B
+    ROW-gathers instead of node_cap/edge_cap ELEMENT-gathers — on this
+    backend per-row gather cost is the pack bottleneck (battery 30:
+    91.5 ms/batch element-gather pack at batch 4096 vs a ~4 ms forward).
     """
 
     atoms: Any  # (Pa,) int32 raw vocab ids
@@ -71,12 +81,23 @@ class DevicePool:
     a_len: Any  # (M,) int32
     e_start: Any  # (M,) int32
     e_len: Any  # (M,) int32 directed edges per ion (post-duplication)
+    atoms_p: Any = None  # (M, pitch) int32, pad slots 0
+    bonds_p: Any = None  # (M, em) int32, pad slots 0
+    edges_p: Any = None  # (M, em, 2) int32 local endpoints, pads (0, 0)
     duplicated: bool = struct.field(pytree_node=False, default=False)
+    pitch: int = struct.field(pytree_node=False, default=0)
+    em: int = struct.field(pytree_node=False, default=0)
 
 
-def device_pool(pool, duplicate_edges: bool = False) -> DevicePool:
+def device_pool(pool, duplicate_edges: bool = False,
+                pitch: int = 0) -> DevicePool:
     """Convert a host :class:`~ionic_mpnn_tpu.inference.IonPool` (int64
     offsets) into int32 device arrays.
+
+    ``pitch > 0`` additionally builds the molecule-major padded planes
+    (``atoms_p``/``bonds_p``/``edges_p``) that let pitch-placed aligned
+    batches pack with B row-gathers (see :class:`DevicePool`); ``pitch``
+    must be ≥ every ion (:func:`pool_pitch`).
 
     Two host-side (numpy, vectorized, once-per-sweep) preprocessing steps:
 
@@ -110,6 +131,34 @@ def device_pool(pool, duplicate_edges: bool = False) -> DevicePool:
         order = np.lexsort((edges[:, 1], ion_of_edge))
         edges = edges[order]
         bonds = bonds[order]
+    atoms_p = bonds_p = edges_p = None
+    em = 0
+    if pitch > 0:
+        M = len(e_len)
+        a_len_arr = np.asarray(pool.a_len, np.int64)
+        if a_len_arr.max(initial=0) > pitch:
+            raise ValueError(
+                f"pitch {pitch} < largest ion ({int(a_len_arr.max())} atoms)"
+            )
+        em = max(int(e_len.max(initial=0)), 1)
+        atoms_np = np.zeros((M, pitch), np.int32)
+        ai = np.repeat(np.arange(M, dtype=np.int64), a_len_arr)
+        aj = np.arange(a_len_arr.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(a_len_arr)[:-1]]), a_len_arr)
+        a_start_arr = np.asarray(pool.a_start, np.int64)
+        if len(ai):
+            atoms_np[ai, aj] = atoms[np.repeat(a_start_arr, a_len_arr) + aj]
+        bonds_np = np.zeros((M, em), np.int32)
+        edges_np = np.zeros((M, em, 2), np.int32)
+        ei = np.repeat(np.arange(M, dtype=np.int64), e_len)
+        ej = np.arange(e_len.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(e_len)[:-1]]), e_len)
+        if len(ei):
+            bonds_np[ei, ej] = bonds[: len(ei)]
+            edges_np[ei, ej] = edges[: len(ei)]
+        atoms_p = jnp.asarray(atoms_np)
+        bonds_p = jnp.asarray(bonds_np)
+        edges_p = jnp.asarray(edges_np)
     if atoms.size == 0:
         atoms = np.zeros(1, np.int32)
     if bonds.size == 0:
@@ -124,7 +173,12 @@ def device_pool(pool, duplicate_edges: bool = False) -> DevicePool:
         a_len=jnp.asarray(pool.a_len, jnp.int32),
         e_start=jnp.asarray(e_start, jnp.int32),
         e_len=jnp.asarray(e_len, jnp.int32),
+        atoms_p=atoms_p,
+        bonds_p=bonds_p,
+        edges_p=edges_p,
         duplicated=bool(duplicate_edges),
+        pitch=int(pitch),
+        em=em,
     )
 
 
@@ -252,6 +306,82 @@ def pack_side_on_device(
         n_graphs=B,
         node_sorted=True,
     )
+
+
+def pack_side_padded(
+    pool: DevicePool,
+    sel: jnp.ndarray,  # (B,) int32 ion indices into the pool
+    window: int,
+) -> PackedGraphs:
+    """Molecule-major pitched pack: the window_ALIGNED analogue of
+    ``pack_side_on_device(pitch=...)`` + ``window_tile_on_device`` in ONE
+    step built from B ROW-gathers of the pool's padded planes.
+
+    Requires a pool built with ``device_pool(pitch=...)`` and
+    ``pitch | window``. Molecule ``i`` occupies node slots
+    ``[i·pitch, (i+1)·pitch)`` and edge slots ``[i·em, (i+1)·em)``;
+    window ``w`` therefore holds exactly ``window//pitch`` whole molecules
+    and its edges live at positions ``[w·tile, (w+1)·tile)`` with
+    ``tile = (window//pitch)·em`` — the implicit per-window edge tile, so
+    no re-tiling pass is needed. Within-tile edge ORDER interleaves each
+    molecule's (dst-sorted) edges with its pad slots; the onehot message
+    op is order-independent inside a tile (its gather/aggregate are
+    one-hot matmul SUMS), which is the only consumer of this layout.
+
+    Why: on this backend gather cost is per ROW, nearly independent of
+    row width (RESULTS battery 30: the element-gather device pack costs
+    91.5 ms/batch at batch 4096 — ~20× the model forward it feeds). This
+    formulation gathers ``4·B`` rows instead of ``2·(node_cap+edge_cap)``
+    elements.
+    """
+    if pool.pitch <= 0 or pool.atoms_p is None:
+        raise ValueError("pack_side_padded needs a pool built with "
+                         "device_pool(pitch=...)")
+    if window % pool.pitch != 0:
+        raise ValueError(f"pitch {pool.pitch} must divide window {window}")
+    B = int(sel.shape[0])
+    pitch, em = pool.pitch, pool.em
+    sel = sel.astype(jnp.int32)
+
+    atoms = pool.atoms_p[sel]  # (B, pitch) — one row gather
+    alen = pool.a_len[sel]  # (B,)
+    nmask = jnp.arange(pitch, dtype=jnp.int32)[None, :] < alen[:, None]
+    atom_ids = jnp.where(nmask, atoms + 1, 0).reshape(B * pitch)
+    slot = jnp.arange(B, dtype=jnp.int32)
+    node_graph = jnp.broadcast_to(slot[:, None], (B, pitch)).reshape(-1)
+    local = jnp.broadcast_to(
+        jnp.arange(pitch, dtype=jnp.int32)[None, :], (B, pitch))
+    node_local = jnp.where(nmask, local, 0).reshape(-1)
+
+    e = pool.edges_p[sel]  # (B, em, 2)
+    bonds = pool.bonds_p[sel]  # (B, em)
+    elen = pool.e_len[sel]
+    emask = jnp.arange(em, dtype=jnp.int32)[None, :] < elen[:, None]
+    base = (slot * pitch)[:, None]
+    # pad edges collapse onto their own molecule's slot base: in-window
+    # (locality contract holds) and masked
+    src = jnp.where(emask, e[..., 0] + base, base).reshape(-1).astype(jnp.int32)
+    dst = jnp.where(emask, e[..., 1] + base, base).reshape(-1).astype(jnp.int32)
+    bond_ids = jnp.where(emask, bonds + 1, 0).reshape(-1).astype(jnp.int32)
+
+    return PackedGraphs(
+        atom_ids=atom_ids.astype(jnp.int32),
+        bond_ids=bond_ids,
+        src=src,
+        dst=dst,
+        node_graph=node_graph,
+        node_local=node_local,
+        node_mask=nmask.reshape(-1),
+        edge_mask=emask.reshape(-1),
+        n_graphs=B,
+        edge_layout="window_aligned",
+        node_sorted=True,
+    )
+
+
+def padded_aligned_tile(window: int, pitch: int, em: int) -> int:
+    """The implicit per-window edge tile of :func:`pack_side_padded`."""
+    return (window // pitch) * em
 
 
 def window_tile_on_device(
@@ -437,19 +567,30 @@ def grid_batch_on_device(
     if aligned and (pitch <= 0 or an_pitch <= 0):
         raise ValueError("edge_layout='window_aligned' needs pitch > 0 "
                          "(use pool_pitch)")
-    cation = pack_side_on_device(cat_pool, ci, node_cap, edge_cap,
-                                 duplicate_edges,
-                                 pitch=pitch if aligned else 0)
-    anion = pack_side_on_device(an_pool, ai, an_node_cap, an_edge_cap,
-                                duplicate_edges,
-                                pitch=an_pitch if aligned else 0)
-    if edge_layout in ("window", "window_aligned"):
-        if edge_tile <= 0 or an_tile <= 0:
-            raise ValueError(f"edge_layout={edge_layout!r} needs edge_tile > 0 "
-                             "(use pool_window_tile_bound / "
-                             "pool_aligned_tile_bound)")
-        cation = window_tile_on_device(cation, edge_tile, window, aligned)
-        anion = window_tile_on_device(anion, an_tile, window, aligned)
+
+    def one_side(pool, sel_ids, ncap, ecap, tile, p):
+        if aligned and pool.pitch > 0:
+            # molecule-major fast path (see pack_side_padded): pools built
+            # with padded planes pack in B row-gathers, tile is implicit
+            if pool.pitch != p:
+                raise ValueError(f"pool built with pitch {pool.pitch} but "
+                                 f"plan pitch is {p}")
+            if ncap != B * p:
+                raise ValueError(f"aligned padded pack needs node_cap == "
+                                 f"B*pitch ({ncap} != {B}*{p})")
+            return pack_side_padded(pool, sel_ids, window)
+        g = pack_side_on_device(pool, sel_ids, ncap, ecap, duplicate_edges,
+                                pitch=p if aligned else 0)
+        if edge_layout in ("window", "window_aligned"):
+            if tile <= 0:
+                raise ValueError(
+                    f"edge_layout={edge_layout!r} needs edge_tile > 0 "
+                    "(use pool_window_tile_bound / pool_aligned_tile_bound)")
+            g = window_tile_on_device(g, tile, window, aligned)
+        return g
+
+    cation = one_side(cat_pool, ci, node_cap, edge_cap, edge_tile, pitch)
+    anion = one_side(an_pool, ai, an_node_cap, an_edge_cap, an_tile, an_pitch)
     temperature = jnp.zeros((B, 1), jnp.float32)
     if with_temperature:
         temperature = jnp.where(in_range[:, None], temps[ti][:, None], 0.0)

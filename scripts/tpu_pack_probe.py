@@ -29,6 +29,7 @@ import numpy as np
 def main() -> int:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    mode = sys.argv[3] if len(sys.argv) > 3 else "elementwise"  # | padded
 
     from ionic_mpnn_tpu.benchmarks import make_bench_dataset
     from ionic_mpnn_tpu.data.synthetic import ANION_SMILES, CATION_TEMPLATES
@@ -53,9 +54,13 @@ def main() -> int:
     total = C * A * len(np.asarray(temps))
     window = 64
 
-    cat_d, an_d = device_pool(cat), device_pool(an)
     p_c = pool_pitch(cat.a_len, window)
     p_a = pool_pitch(an.a_len, window)
+    if mode == "padded":
+        cat_d = device_pool(cat, pitch=p_c)
+        an_d = device_pool(an, pitch=p_a)
+    else:
+        cat_d, an_d = device_pool(cat), device_pool(an)
     t_c = pool_aligned_tile_bound(cat.e_len, window, p_c)
     t_a = pool_aligned_tile_bound(an.e_len, window, p_a)
 
@@ -88,7 +93,7 @@ def main() -> int:
         acc += int(np.asarray(fn(jnp.int32(i % max(total - batch, 1)))))
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "mode": "pack-only-aligned-perside",
+        "mode": f"pack-only-aligned-perside-{mode}",
         "batch": batch, "window": window,
         "pitch": [p_c, p_a], "tile": [t_c, t_a],
         "node_caps": [batch * p_c, batch * p_a],

@@ -567,3 +567,62 @@ def test_screen_grid_per_side_matches_shared(encoded_viscosity, layout):
         [r.prediction for r in ps.results],
         [r.prediction for r in sh.results], rtol=2e-5, atol=1e-6,
     )
+
+
+def test_pack_side_padded_matches_elementwise(encoded_viscosity):
+    """Molecule-major padded pack == element-gather pitch pack +
+    window_tile_on_device on masked content (battery-30 fast path)."""
+    from ionic_mpnn_tpu.ops.grid_pack import (
+        pack_side_padded,
+        padded_aligned_tile,
+        pool_pitch,
+    )
+
+    vocab = encoded_viscosity["vocab"]
+    pool = IonPool(IONS, vocab)
+    window = 32
+    for dup in (False, True):
+        dpool = device_pool(pool, duplicate_edges=dup,
+                            pitch=pool_pitch(pool.a_len, window))
+        sel = jnp.asarray(np.array([0, 3, 1, 4, 2, 0, 5, 1], np.int32))
+        B = int(sel.shape[0])
+        fast = jax.jit(lambda s: pack_side_padded(dpool, s, window))(sel)
+        assert fast.edge_layout == "window_aligned"
+        assert fast.node_sorted
+        assert fast.atom_ids.shape[0] == B * dpool.pitch
+        assert fast.src.shape[0] == B * dpool.em
+
+        ref_pool = device_pool(pool, duplicate_edges=dup)
+        from ionic_mpnn_tpu.ops.grid_pack import (
+            pool_aligned_tile_bound,
+            window_tile_on_device,
+        )
+        tile = pool_aligned_tile_bound(ref_pool.e_len, window, dpool.pitch)
+        slow = jax.jit(lambda s: window_tile_on_device(
+            pack_side_on_device(ref_pool, s, B * dpool.pitch, 512,
+                                duplicate_edges=dup, pitch=dpool.pitch),
+            tile, window, aligned=True))(sel)
+
+        # node planes identical (same pitch placement)
+        np.testing.assert_array_equal(fast.atom_ids, slow.atom_ids)
+        np.testing.assert_array_equal(fast.node_mask, slow.node_mask)
+        np.testing.assert_array_equal(fast.node_local, slow.node_local)
+        # masked rows of node_graph agree (gap rows differ only in the
+        # forward-fill value — both non-decreasing, both masked)
+        nm = np.asarray(fast.node_mask, bool)
+        np.testing.assert_array_equal(np.asarray(fast.node_graph)[nm],
+                                      np.asarray(slow.node_graph)[nm])
+        assert np.all(np.diff(np.asarray(fast.node_graph)) >= 0)
+        # same real-edge multiset (tile-internal order is free for onehot)
+        def eset(g):
+            m = np.asarray(g.edge_mask, bool)
+            return sorted(zip(np.asarray(g.src)[m].tolist(),
+                              np.asarray(g.dst)[m].tolist(),
+                              np.asarray(g.bond_ids)[m].tolist()))
+        assert eset(fast) == eset(slow)
+        # window locality: every edge (pads included) stays in one window
+        assert np.array_equal(np.asarray(fast.src) // window,
+                              np.asarray(fast.dst) // window)
+        # per-window edge positions match the implicit tile contract
+        tile_f = padded_aligned_tile(window, dpool.pitch, dpool.em)
+        assert fast.src.shape[0] == (B * dpool.pitch // window) * tile_f
