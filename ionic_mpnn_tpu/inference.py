@@ -957,10 +957,14 @@ class ScreeningEngine:
         total = C * A * T
         B = plan.batch_size
 
-        def one(v, cat_d, an_d, temps_d, g0):
+        # grid shape (C, A, total) threaded as TRACED scalars: the
+        # compiled executable is then independent of sweep size, so a 200k
+        # probe, a 2M A/B and a 10M production sweep share one program
+        # (cold remote compiles cost minutes per program — battery 30)
+        def one(v, cat_d, an_d, temps_d, g0, c_n, a_n, tot):
             batch = grid_batch_on_device(
                 cat_d, an_d, temps_d, g0,
-                n_cations=C, n_anions=A, total=total, batch_size=B,
+                n_cations=c_n, n_anions=a_n, total=tot, batch_size=B,
                 node_cap=plan.node_cap, edge_cap=plan.edge_cap,
                 duplicate_edges=plan.duplicate_edges,
                 with_temperature=plan.with_temperature,
@@ -983,9 +987,10 @@ class ScreeningEngine:
         if K == 1:
             dispatch = one
         else:
-            def dispatch(v, cat_d, an_d, temps_d, g0):
+            def dispatch(v, cat_d, an_d, temps_d, g0, c_n, a_n, tot):
                 def body(carry, s):
-                    return carry, one(v, cat_d, an_d, temps_d, g0 + s * B)
+                    return carry, one(v, cat_d, an_d, temps_d, g0 + s * B,
+                                      c_n, a_n, tot)
 
                 _, (vs, gis) = jax.lax.scan(
                     body, 0, jnp.arange(K, dtype=jnp.int32)
@@ -1026,7 +1031,8 @@ class ScreeningEngine:
         t_warm = done_warm = 0.0  # clock/progress after the FIRST sync
         for g0 in range(0, total, B * K):
             t_d = _time.perf_counter()
-            out = fn(self._variables, cat_d, an_d, temps_d, jnp.int32(g0))
+            out = fn(self._variables, cat_d, an_d, temps_d, jnp.int32(g0),
+                     jnp.int32(C), jnp.int32(A), jnp.int32(total))
             if pending is not None:
                 # np.asarray blocks until the PREVIOUS dispatch completes —
                 # this sync (not the async fn() call) is the device time

@@ -545,6 +545,12 @@ def grid_batch_on_device(
     (``gid >= total``) get ion 0 and ``sample_mask == 0`` — the last
     partial batch reuses the same compiled program.
 
+    ``n_cations``/``n_anions``/``total`` may be python ints OR traced
+    int32 scalars: passing them as jit ARGUMENTS keeps the compiled
+    executable independent of grid size (cold remote compiles cost
+    minutes through the axon tunnel; baking the grid shape into the
+    program forced a fresh compile per sweep size — battery 30).
+
     The ``anion_*`` overrides size that side INDEPENDENTLY (0 = shared):
     anions are typically ~3x smaller than cations, so a per-side pitch /
     node_cap / edge_tile shrinks the anion forward's node and edge planes
