@@ -196,6 +196,15 @@ class TrainConfig:
     # the shard_map body (parallel/data_parallel.py).
     steps_per_call: int = 0
     use_native_loader: bool = True  # C++ packer for epoch batching when built
+    # Device-resident epochs: upload the dataset once, ship only a shuffled
+    # permutation per epoch (~0.4 MB at 100k records) and pack batches ON
+    # DEVICE (training/device_epochs.py). Cuts the host→device link cost
+    # that bounds fit() on remote-tunnel backends (battery 29: ~150 MB of
+    # packed arrays re-sent per epoch). Single-device onehot+aligned only;
+    # silently falls back to the host loader elsewhere. Batches are
+    # fixed-pitch packed, so loss trajectories are statistically
+    # equivalent but not bit-identical to the host loader's.
+    device_epochs: bool = False
     normalize_y: bool = False  # z-score on train stats (MP task)
     normalize_guard: str = "or1"  # "or1" (train_melting_point.py:256) | "eps" (transfer :174-181)
     weight_decay: float = 0.0

@@ -280,9 +280,12 @@ def fit(
                 dev_records, target_key=plan.target_key
             )
     # The dev split never shuffles, so its packed batches are identical
-    # every epoch — pack ONCE and reuse (per-epoch Python re-packing of
-    # the dev split rivaled the whole train-epoch host cost at scale).
-    dev_batches = list(dev_iter(dev_source, plan, shuffle=False))
+    # every epoch — pack ONCE, put on DEVICE once, and reuse (per-epoch
+    # Python re-packing rivaled the whole train-epoch host cost at scale,
+    # and per-epoch host→device re-transfer of the same arrays costs
+    # ~3 MB/batch/epoch through the axon tunnel — battery 29).
+    dev_batches = [jax.device_put(b) for b in
+                   dev_iter(dev_source, plan, shuffle=False)]
 
     rng = jax.random.PRNGKey(train_cfg.seed)
     init_rng, state_rng = jax.random.split(rng)
@@ -382,10 +385,50 @@ def fit(
             state, m = scan_step(state, stacked)
             return state, m["loss_sum"] / jnp.maximum(m["n"], 1.0)
 
+        # Device-resident epochs: the dataset is uploaded once and batches
+        # pack ON DEVICE from a per-epoch permutation (~0.4 MB/epoch of
+        # transfer instead of ~150 MB — battery 29's link bound). Opt-in;
+        # falls back to the host loader when its layout contract doesn't
+        # hold (non-aligned layout, molecule > window, non-onehot impl).
+        if (train_cfg.device_epochs
+                and model_cfg.message_impl == "onehot"
+                and plan.edge_layout == "window_aligned"):
+            from .device_epochs import build_device_dataset, make_device_epoch_call
+
+            try:
+                ds = build_device_dataset(
+                    list(train_records), plan.window, plan.target_key,
+                    with_temperature=plan.with_temperature,
+                    duplicate_edges=plan.duplicate_edges,
+                )
+            except ValueError:  # molecule > window: host loader handles it
+                ds = None
+            if ds is not None:
+                inner = make_train_step(model, model_cfg, train_cfg,
+                                        optimizer, has_bs, jit_compile=False)
+                epoch_call = make_device_epoch_call(inner, ds, plan.batch_size,
+                                                    K)
+                BK = plan.batch_size * K
+
+                def device_epoch(state, epoch, losses, ns):
+                    perm = np.random.default_rng(
+                        train_cfg.seed + epoch).permutation(ds.n
+                                                            ).astype(np.int32)
+                    pad = (-len(perm)) % BK
+                    perm_dev = jax.device_put(jnp.asarray(np.concatenate(
+                        [perm, np.full(pad, ds.n, np.int32)])))
+                    for g0 in range(0, ds.n, BK):
+                        state, m = epoch_call(state, perm_dev, jnp.int32(g0))
+                        losses.append(m["loss_sum"] / jnp.maximum(m["n"], 1.0))
+                        ns.append(min(BK, ds.n - g0))
+                    return state
+
+                group_epoch_runner = device_epoch
+
         # Native group mode: the C++ packer writes each batch straight
         # into rows of pre-stacked (K, ...) buffers, skipping both the
         # per-batch np.stack pass and the per-batch mask-sum bookkeeping.
-        if train_iter is not iter_batches:
+        if group_epoch_runner is None and train_iter is not iter_batches:
             from ..data.columnar import iter_batch_groups_fast
 
             def native_group_epoch(state, epoch, losses, ns):

@@ -22,6 +22,7 @@ def main() -> int:
     n_records = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    device_epochs = len(sys.argv) > 4 and sys.argv[4] == "device"
 
     from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
 
@@ -46,7 +47,8 @@ def main() -> int:
                            message_impl=impl, compute_dtype=dtype,
                            onehot_window=window)
     tcfg = TrainConfig(epochs=epochs, batch_size=batch_size,
-                       early_stopping_patience=epochs + 1, seed=0)
+                       early_stopping_patience=epochs + 1, seed=0,
+                       device_epochs=device_epochs)
     plan = plan_capacities(records, batch_size=batch_size,
                            edge_layout=edge_layout_for(impl),
                            window=window)
@@ -60,7 +62,7 @@ def main() -> int:
     steady = sorted(per_epoch[1:])[len(per_epoch[1:]) // 2] if len(per_epoch) > 1 else wall / epochs
     print(json.dumps({
         "n_records": n_records,
-        "batch_size": batch_size,
+        "batch_size": batch_size, "device_epochs": device_epochs,
         "message_impl": impl,
         "compute_dtype": dtype,
         "onehot_window": window,

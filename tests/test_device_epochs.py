@@ -1,0 +1,120 @@
+"""Device-resident training epochs (training/device_epochs.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ionic_mpnn_tpu.config import TrainConfig, viscosity_config
+from ionic_mpnn_tpu.data import iter_batches, plan_capacities
+from ionic_mpnn_tpu.models import ViscosityModel
+from ionic_mpnn_tpu.training.device_epochs import (
+    build_device_dataset,
+    make_device_epoch_call,
+)
+from ionic_mpnn_tpu.training.loop import make_train_step
+from ionic_mpnn_tpu.training.optim import make_optimizer
+
+
+def _setup(encoded_viscosity, n=16, batch=8):
+    vocab = encoded_viscosity["vocab"]
+    records = encoded_viscosity["viscosity"][:n]
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                           num_steps=2, message_impl="onehot")
+    model = ViscosityModel(cfg)
+    plan = plan_capacities(records, batch_size=batch,
+                           edge_layout="window_aligned")
+    params = model.init(jax.random.PRNGKey(0),
+                        next(iter_batches(records, plan)))
+    return records, cfg, model, plan, params
+
+
+def test_build_device_dataset_dedupes(encoded_viscosity):
+    records, cfg, model, plan, params = _setup(encoded_viscosity)
+    ds = build_device_dataset(records, plan.window, plan.target_key)
+    assert ds.n == len(records)
+    # dedupe really dedupes (synthetic library reuses ions across records)
+    assert int(ds.cat_pool.a_len.shape[0]) < len(records) or len(records) <= 2
+    # every record's index maps back to its own molecule's atom count
+    for i, r in enumerate(records):
+        row = int(np.asarray(ds.cat_idx)[i])
+        assert int(np.asarray(ds.cat_pool.a_len)[row]) == r["cation"]["num_atoms"]
+        row = int(np.asarray(ds.an_idx)[i])
+        assert int(np.asarray(ds.an_pool.a_len)[row]) == r["anion"]["num_atoms"]
+    assert ds.cat_pool.pitch > 0 and ds.an_pool.pitch > 0
+
+
+def test_device_epoch_step_matches_host_step(encoded_viscosity):
+    """One device-packed train step == the host-packed step on the same
+    records (same math, different placement → allclose)."""
+    from ionic_mpnn_tpu.training.loop import TrainState
+
+    records, cfg, model, plan, params = _setup(encoded_viscosity, n=8, batch=8)
+    tcfg = TrainConfig(batch_size=8, steps_per_call=1, seed=3)
+    opt = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+    ds = build_device_dataset(records, plan.window, plan.target_key)
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.int32(0), params=jax.tree.map(jnp.array, params["params"]),
+            batch_stats={}, opt_state=opt.init(params["params"]),
+            rng=jax.random.PRNGKey(7),
+        )
+
+    inner = make_train_step(model, cfg, tcfg, opt, jit_compile=False)
+    call = make_device_epoch_call(inner, ds, batch_size=8, steps_per_call=1)
+    perm = jnp.asarray(np.arange(8, dtype=np.int32))
+    dev_state, dev_m = call(fresh_state(), perm, jnp.int32(0))
+
+    host_batch = next(iter_batches(records, plan, shuffle=False))
+    host_step = make_train_step(model, cfg, tcfg, opt)
+    host_state, host_m = host_step(fresh_state(), host_batch)
+
+    np.testing.assert_allclose(
+        float(dev_m["loss_sum"] / dev_m["n"]), float(host_m["loss"]),
+        rtol=2e-5, atol=1e-6)
+    flat_d = jax.tree.leaves(dev_state.params)
+    flat_h = jax.tree.leaves(host_state.params)
+    for d, h in zip(flat_d, flat_h):
+        np.testing.assert_allclose(np.asarray(d), np.asarray(h),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_device_epoch_padded_tail_masked(encoded_viscosity):
+    """Sentinel (out-of-range) permutation slots contribute nothing."""
+    from ionic_mpnn_tpu.training.loop import TrainState
+
+    records, cfg, model, plan, params = _setup(encoded_viscosity, n=5, batch=8)
+    tcfg = TrainConfig(batch_size=8, steps_per_call=2, seed=3)
+    opt = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+    ds = build_device_dataset(records, plan.window, plan.target_key)
+    inner = make_train_step(model, cfg, tcfg, opt, jit_compile=False)
+    call = make_device_epoch_call(inner, ds, batch_size=8, steps_per_call=2)
+    perm = jnp.asarray(np.concatenate(
+        [np.arange(5), np.full(11, 5)]).astype(np.int32))
+    state = TrainState(
+        step=jnp.int32(0), params=params["params"], batch_stats={},
+        opt_state=opt.init(params["params"]), rng=jax.random.PRNGKey(7))
+    _, m = call(state, perm, jnp.int32(0))
+    assert float(m["n"]) == 5.0
+    assert np.isfinite(float(m["loss_sum"]))
+
+
+def test_fit_device_epochs_learns(encoded_viscosity):
+    """fit(device_epochs=True) trains (loss decreases) on CPU."""
+    from ionic_mpnn_tpu.training.loop import fit
+
+    vocab = encoded_viscosity["vocab"]
+    records = encoded_viscosity["viscosity"]
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                           num_steps=2, message_impl="onehot")
+    plan = plan_capacities(records, batch_size=8,
+                           edge_layout="window_aligned")
+    tcfg = TrainConfig(epochs=8, batch_size=8, steps_per_call=2,
+                       early_stopping_patience=100, seed=0,
+                       device_epochs=True)
+    result = fit(ViscosityModel(cfg), cfg, tcfg, records[:24], records[24:32],
+                 plan, verbose=False)
+    assert len(result.history["loss"]) == 8
+    assert result.history["loss"][-1] < result.history["loss"][0]
+    assert np.isfinite(result.best_val_loss)
