@@ -390,7 +390,10 @@ def fit(
         # transfer instead of ~150 MB — battery 29's link bound). Opt-in;
         # falls back to the host loader when its layout contract doesn't
         # hold (non-aligned layout, molecule > window, non-onehot impl).
-        if (train_cfg.device_epochs
+        dev_ep = train_cfg.device_epochs
+        if dev_ep == "auto":  # on for accelerators, off on CPU
+            dev_ep = jax.devices()[0].platform != "cpu"
+        if (dev_ep
                 and model_cfg.message_impl == "onehot"
                 and plan.edge_layout == "window_aligned"):
             from .device_epochs import build_device_dataset, make_device_epoch_call

@@ -22,7 +22,9 @@ def main() -> int:
     n_records = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    device_epochs = len(sys.argv) > 4 and sys.argv[4] == "device"
+    # default "auto" (on for accelerators); "device"/"host" force it
+    device_epochs = {"device": True, "host": False}.get(
+        sys.argv[4] if len(sys.argv) > 4 else "auto", "auto")
 
     from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
 
