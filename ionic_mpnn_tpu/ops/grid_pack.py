@@ -65,13 +65,14 @@ class DevicePool:
     ``bonds`` hold raw vocab ids (the +1 pad offset is applied at pack
     time, same as the host packer).
 
-    ``atoms_p``/``bonds_p``/``edges_p`` (present when the pool was built
-    with ``pitch > 0``) are the MOLECULE-MAJOR padded planes: ion ``i``'s
-    atoms padded to row ``atoms_p[i]`` of shape (pitch,) and its edges to
-    rows of shape (em,). Packing a pitch-placed batch from these is B
-    ROW-gathers instead of node_cap/edge_cap ELEMENT-gathers — on this
-    backend per-row gather cost is the pack bottleneck (battery 30:
-    91.5 ms/batch element-gather pack at batch 4096 vs a ~4 ms forward).
+    ``fused_p`` (present when the pool was built with ``pitch > 0``) is
+    the MOLECULE-MAJOR padded plane: ion ``i``'s atoms, bonds, edges and
+    lengths concatenated into one padded int32 row. Packing a
+    pitch-placed batch from it is ONE row-gather per side instead of
+    node_cap/edge_cap ELEMENT-gathers — on this backend per-row gather
+    cost is the pack bottleneck (battery 30: 91.5 ms/batch element-gather
+    pack at batch 4096 vs a ~4 ms forward; separate per-plane row-gathers
+    still cost ~25 ms).
     """
 
     atoms: Any  # (Pa,) int32 raw vocab ids
@@ -81,9 +82,11 @@ class DevicePool:
     a_len: Any  # (M,) int32
     e_start: Any  # (M,) int32
     e_len: Any  # (M,) int32 directed edges per ion (post-duplication)
-    atoms_p: Any = None  # (M, pitch) int32, pad slots 0
-    bonds_p: Any = None  # (M, em) int32, pad slots 0
-    edges_p: Any = None  # (M, em, 2) int32 local endpoints, pads (0, 0)
+    # single fused plane — columns [atoms(pitch) | bonds(em) |
+    # edges(2·em, interleaved src/dst) | a_len | e_len] — so a batch
+    # packs with exactly ONE row-gather per side (per-row gather cost
+    # dominates; 5 separate plane gathers measured ~25 ms/batch at 4096)
+    fused_p: Any = None  # (M, pitch + 3·em + 2) int32
     duplicated: bool = struct.field(pytree_node=False, default=False)
     pitch: int = struct.field(pytree_node=False, default=0)
     em: int = struct.field(pytree_node=False, default=0)
@@ -94,10 +97,10 @@ def device_pool(pool, duplicate_edges: bool = False,
     """Convert a host :class:`~ionic_mpnn_tpu.inference.IonPool` (int64
     offsets) into int32 device arrays.
 
-    ``pitch > 0`` additionally builds the molecule-major padded planes
-    (``atoms_p``/``bonds_p``/``edges_p``) that let pitch-placed aligned
-    batches pack with B row-gathers (see :class:`DevicePool`); ``pitch``
-    must be ≥ every ion (:func:`pool_pitch`).
+    ``pitch > 0`` additionally builds the molecule-major fused padded
+    plane (``fused_p``) that lets pitch-placed aligned batches pack with
+    one row-gather per side (see :class:`DevicePool`); ``pitch`` must be
+    ≥ every ion (:func:`pool_pitch`).
 
     Two host-side (numpy, vectorized, once-per-sweep) preprocessing steps:
 
@@ -131,7 +134,7 @@ def device_pool(pool, duplicate_edges: bool = False,
         order = np.lexsort((edges[:, 1], ion_of_edge))
         edges = edges[order]
         bonds = bonds[order]
-    atoms_p = bonds_p = edges_p = None
+    fused_p = None
     em = 0
     if pitch > 0:
         M = len(e_len)
@@ -156,9 +159,13 @@ def device_pool(pool, duplicate_edges: bool = False,
         if len(ei):
             bonds_np[ei, ej] = bonds[: len(ei)]
             edges_np[ei, ej] = edges[: len(ei)]
-        atoms_p = jnp.asarray(atoms_np)
-        bonds_p = jnp.asarray(bonds_np)
-        edges_p = jnp.asarray(edges_np)
+        fused_p = jnp.asarray(np.concatenate([
+            atoms_np,
+            bonds_np,
+            edges_np.reshape(M, 2 * em),
+            np.asarray(pool.a_len, np.int32)[:, None],
+            np.asarray(e_len, np.int32)[:, None],
+        ], axis=1))
     if atoms.size == 0:
         atoms = np.zeros(1, np.int32)
     if bonds.size == 0:
@@ -173,9 +180,7 @@ def device_pool(pool, duplicate_edges: bool = False,
         a_len=jnp.asarray(pool.a_len, jnp.int32),
         e_start=jnp.asarray(e_start, jnp.int32),
         e_len=jnp.asarray(e_len, jnp.int32),
-        atoms_p=atoms_p,
-        bonds_p=bonds_p,
-        edges_p=edges_p,
+        fused_p=fused_p,
         duplicated=bool(duplicate_edges),
         pitch=int(pitch),
         em=em,
@@ -334,7 +339,7 @@ def pack_side_padded(
     formulation gathers ``4·B`` rows instead of ``2·(node_cap+edge_cap)``
     elements.
     """
-    if pool.pitch <= 0 or pool.atoms_p is None:
+    if pool.pitch <= 0 or pool.fused_p is None:
         raise ValueError("pack_side_padded needs a pool built with "
                          "device_pool(pitch=...)")
     if window % pool.pitch != 0:
@@ -343,8 +348,12 @@ def pack_side_padded(
     pitch, em = pool.pitch, pool.em
     sel = sel.astype(jnp.int32)
 
-    atoms = pool.atoms_p[sel]  # (B, pitch) — one row gather
-    alen = pool.a_len[sel]  # (B,)
+    fused = pool.fused_p[sel]  # (B, pitch+3·em+2) — THE one row gather
+    atoms = fused[:, :pitch]  # (B, pitch)
+    bonds = fused[:, pitch:pitch + em]  # (B, em)
+    e = fused[:, pitch + em:pitch + 3 * em].reshape(B, em, 2)
+    alen = fused[:, -2]  # (B,)
+    elen = fused[:, -1]
     nmask = jnp.arange(pitch, dtype=jnp.int32)[None, :] < alen[:, None]
     atom_ids = jnp.where(nmask, atoms + 1, 0).reshape(B * pitch)
     slot = jnp.arange(B, dtype=jnp.int32)
@@ -353,9 +362,6 @@ def pack_side_padded(
         jnp.arange(pitch, dtype=jnp.int32)[None, :], (B, pitch))
     node_local = jnp.where(nmask, local, 0).reshape(-1)
 
-    e = pool.edges_p[sel]  # (B, em, 2)
-    bonds = pool.bonds_p[sel]  # (B, em)
-    elen = pool.e_len[sel]
     emask = jnp.arange(em, dtype=jnp.int32)[None, :] < elen[:, None]
     base = (slot * pitch)[:, None]
     # pad edges collapse onto their own molecule's slot base: in-window
