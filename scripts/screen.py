@@ -162,8 +162,10 @@ def main() -> int:
                 minimize=True,
             )
         results, dt = report.results, time.time() - t0
+        steady = (f", {report.steady_pairs_per_s:,.0f} pairs/s steady "
+                  "(post-compile)" if report.steady_pairs_per_s else "")
         print(f"grid sweep: {report.n_screened:,} pairs at "
-              f"{report.pairs_per_s:,.0f} pairs/s "
+              f"{report.pairs_per_s:,.0f} pairs/s{steady} "
               f"({len(report.skipped)} ions skipped; consumer waited "
               f"{report.producer_wait_s:.0f}s on packing, "
               f"{report.device_s:.0f}s on device+dispatch)")
