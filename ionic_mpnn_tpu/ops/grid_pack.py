@@ -122,6 +122,18 @@ def device_pool(pool, duplicate_edges: bool = False,
     edges = np.asarray(pool.edges, np.int32).reshape(-1, 2)
     e_start = np.asarray(pool.e_start, np.int64)
     e_len = np.asarray(pool.e_len, np.int64)
+    # The per-ion sort below (ion_of_edge) and the fused-plane build index
+    # bonds/edges as CONTIGUOUS per-ion blocks in pool order — a gapped or
+    # reordered pool would silently corrupt both. Every internal pool
+    # (IonPool/_GraphPool) is contiguous; reject anything else outright.
+    if len(e_len) and not np.array_equal(
+        e_start, np.concatenate([[0], np.cumsum(e_len)[:-1]])
+    ):
+        raise ValueError(
+            "device_pool requires a contiguous edge pool: e_start must "
+            "equal the exclusive cumsum of e_len (gapped/reordered pools "
+            "are not supported)"
+        )
     if duplicate_edges and len(edges):
         edges = np.stack([edges, edges[:, ::-1]], axis=1).reshape(-1, 2)
         bonds = np.repeat(bonds, 2)

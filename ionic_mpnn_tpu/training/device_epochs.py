@@ -84,9 +84,13 @@ def _dedupe(records: Sequence[Dict[str, Any]], side: str):
     idx = np.zeros(len(records), np.int32)
     for i, r in enumerate(records):
         g = r[side]
-        key = (np.asarray(g["atom_ids"], np.int32).tobytes()
-               + b"|" + np.asarray(g["bond_ids"], np.int32).tobytes()
-               + b"|" + np.asarray(g["edge_indices"], np.int32).tobytes())
+        a = np.asarray(g["atom_ids"], np.int32).tobytes()
+        b = np.asarray(g["bond_ids"], np.int32).tobytes()
+        e = np.asarray(g["edge_indices"], np.int32).tobytes()
+        # length-prefixed framing: raw int32 bytes can contain any
+        # separator byte, so a bare b"|" join could alias two distinct
+        # (atom_ids, bond_ids, edge_indices) splits into one key
+        key = b"%d|%d|%d|" % (len(a), len(b), len(e)) + a + b + e
         j = keys.get(key)
         if j is None:
             j = len(rows)

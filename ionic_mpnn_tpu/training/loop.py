@@ -374,22 +374,13 @@ def fit(
                 groups = [group[k * n_dev:(k + 1) * n_dev] for k in range(K)]
                 state, m = dp_step(state, stack_batch_groups(groups, mesh))
                 return state, m["loss_sum"] / jnp.maximum(m["n"], 1.0)
-    elif K > 1:
-        scan_step = make_scan_train_step(
-            model, model_cfg, train_cfg, optimizer, K, has_bs
-        )
-
-        def train_step(state, group):
-            group = list(group) + [empty_batch] * (K - len(group))
-            stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
-            state, m = scan_step(state, stacked)
-            return state, m["loss_sum"] / jnp.maximum(m["n"], 1.0)
-
+    else:
         # Device-resident epochs: the dataset is uploaded once and batches
         # pack ON DEVICE from a per-epoch permutation (~0.4 MB/epoch of
-        # transfer instead of ~150 MB — battery 29's link bound). Opt-in;
-        # falls back to the host loader when its layout contract doesn't
-        # hold (non-aligned layout, molecule > window, non-onehot impl).
+        # transfer instead of ~150 MB — battery 29's link bound). Works at
+        # any steps_per_call (K=1 scans one batch per dispatch); falls
+        # back to the host loader when its layout contract doesn't hold
+        # (non-aligned layout, molecule > window, non-onehot impl).
         dev_ep = train_cfg.device_epochs
         if dev_ep == "auto":  # on for accelerators, off on CPU
             dev_ep = jax.devices()[0].platform != "cpu"
@@ -428,29 +419,40 @@ def fit(
 
                 group_epoch_runner = device_epoch
 
-        # Native group mode: the C++ packer writes each batch straight
-        # into rows of pre-stacked (K, ...) buffers, skipping both the
-        # per-batch np.stack pass and the per-batch mask-sum bookkeeping.
-        if group_epoch_runner is None and train_iter is not iter_batches:
-            from ..data.columnar import iter_batch_groups_fast
+        if K > 1:
+            scan_step = make_scan_train_step(
+                model, model_cfg, train_cfg, optimizer, K, has_bs
+            )
 
-            def native_group_epoch(state, epoch, losses, ns):
-                for stacked, n_real in iter_batch_groups_fast(
-                    train_source, plan, K, shuffle=True,
-                    seed=train_cfg.seed + epoch,
-                ):
-                    state, m = scan_step(state, stacked)
-                    losses.append(m["loss_sum"] / jnp.maximum(m["n"], 1.0))
-                    ns.append(n_real)
-                return state
+            def train_step(state, group):
+                group = list(group) + [empty_batch] * (K - len(group))
+                stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
+                state, m = scan_step(state, stacked)
+                return state, m["loss_sum"] / jnp.maximum(m["n"], 1.0)
 
-            group_epoch_runner = native_group_epoch
-    else:
-        single_step = make_train_step(model, model_cfg, train_cfg, optimizer, has_bs)
+            # Native group mode: the C++ packer writes each batch straight
+            # into rows of pre-stacked (K, ...) buffers, skipping both the
+            # per-batch np.stack pass and the per-batch mask-sum bookkeeping.
+            if group_epoch_runner is None and train_iter is not iter_batches:
+                from ..data.columnar import iter_batch_groups_fast
 
-        def train_step(state, group):
-            state, m = single_step(state, group[0])
-            return state, m["loss"]
+                def native_group_epoch(state, epoch, losses, ns):
+                    for stacked, n_real in iter_batch_groups_fast(
+                        train_source, plan, K, shuffle=True,
+                        seed=train_cfg.seed + epoch,
+                    ):
+                        state, m = scan_step(state, stacked)
+                        losses.append(m["loss_sum"] / jnp.maximum(m["n"], 1.0))
+                        ns.append(n_real)
+                    return state
+
+                group_epoch_runner = native_group_epoch
+        else:
+            single_step = make_train_step(model, model_cfg, train_cfg, optimizer, has_bs)
+
+            def train_step(state, group):
+                state, m = single_step(state, group[0])
+                return state, m["loss"]
 
     eval_step = make_eval_step(model, model_cfg, train_cfg, has_bs)
 

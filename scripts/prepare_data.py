@@ -28,6 +28,12 @@ def main() -> int:
     ap.add_argument("--n-viscosity", type=int, default=7666)  # reference scale, parse_data.py:200
     ap.add_argument("--n-mp", type=int, default=400)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--pairs-csv", action="store_true",
+        help="also emit the reference's pairs.csv artifact (cation, anion, "
+             "T, log_eta, mp — scripts/prepare_pairs.py:9-57; consumed by "
+             "nothing downstream, provided for artifact parity)",
+    )
     args = ap.parse_args()
 
     data_dir = Path(args.data_dir)
@@ -45,6 +51,26 @@ def main() -> int:
     vis = parse.parse_viscosity(data_dir / "VISCOSITY.txt", cations, anions)
     mp = parse.parse_melting_point(data_dir / "MP.txt", cations, anions)
     print(f"parsed {len(vis)} viscosity records, {len(mp)} melting-point records")
+
+    if args.pairs_csv:
+        # Reference merge semantics (prepare_pairs.py:38-57): one row per
+        # viscosity record, mp joined by pair_id (blank when absent). The
+        # reference reverse-looks-up pair_id by SMILES in an O(N·V) loop;
+        # our parse records carry pair_id already, same result.
+        import csv
+
+        mp_by_pair = {r["pair_id"]: r["mp"] for r in mp}
+        pairs_path = data_dir / "pairs.csv"
+        with open(pairs_path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["cation", "anion", "T", "log_eta", "mp"])
+            for r in vis:
+                mp_val = mp_by_pair.get(r["pair_id"])
+                w.writerow([
+                    r["cation_smiles"], r["anion_smiles"], r["T"],
+                    r["log_eta"], "" if mp_val is None else mp_val,
+                ])
+        print(f"Saved {len(vis)} records to {pairs_path}")
 
     vis_graphs, vis_report = parse.convert_records_to_graphs(vis, "viscosity")
     mp_graphs, mp_report = parse.convert_records_to_graphs(mp, "mp")

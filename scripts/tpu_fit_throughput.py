@@ -23,8 +23,13 @@ def main() -> int:
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     # default "auto" (on for accelerators); "device"/"host" force it
-    device_epochs = {"device": True, "host": False}.get(
-        sys.argv[4] if len(sys.argv) > 4 else "auto", "auto")
+    mode = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    if mode not in ("auto", "device", "host"):
+        raise SystemExit(
+            f"unknown mode {mode!r}: expected auto | device | host\n"
+            "usage: tpu_fit_throughput.py [n_records] [batch] [epochs] [mode]"
+        )
+    device_epochs = {"device": True, "host": False, "auto": "auto"}[mode]
 
     from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
 
