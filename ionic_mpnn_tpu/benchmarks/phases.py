@@ -41,12 +41,26 @@ from ..ops.message import (
     message_pass_aggregate_onehot,
     resolve_onehot_select,
 )
-from ..ops.segment import graph_sum_pool
+from ..ops.segment import graph_sum_pool, graph_sum_pool_windowed
 from ..training.loop import _data_loss, _l2_penalty
 
 __all__ = ["phase_forward", "PHASES"]
 
 PHASES = ("embed", "msg1", "msg4", "gru4", "enc", "fwd")
+
+
+def _embed(atom_table: jnp.ndarray, g: PackedGraphs, cfg: ModelConfig):
+    """Same resolution as models/dual_encoder.IonEncoder."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    embed = cfg.embed_impl
+    if embed == "auto":
+        embed = ("onehot" if cfg.message_impl == "onehot"
+                 and cfg.atom_vocab_size + 1 <= 128 else "gather")
+    if embed == "onehot":
+        oh = jax.nn.one_hot(g.atom_ids, atom_table.shape[0], dtype=dtype)
+        return jnp.dot(oh, atom_table.astype(dtype),
+                       preferred_element_type=jnp.float32).astype(dtype)
+    return jnp.take(atom_table, g.atom_ids, axis=0).astype(dtype)
 
 
 def _gru_params(p: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
@@ -70,7 +84,7 @@ def _encoder(
 ):
     dtype = jnp.dtype(cfg.compute_dtype)
     select = resolve_onehot_select(cfg.onehot_select, cfg.bond_vocab_size + 1)
-    h = jnp.take(atom_table, g.atom_ids, axis=0).astype(dtype)
+    h = _embed(atom_table, g, cfg)
     for i in range(n_msg):
         w = enc_params[f"bmm_{i}"]["bond_transform"]
         m_table = bond_type_matrices(
@@ -82,16 +96,21 @@ def _encoder(
             select=select,
         )
         if i < n_gru:
-            # matches the flax module's promotion: dense kernels are f32,
-            # so the GRU matmuls run f32-promoted and the next message
-            # step casts h back down
-            h = gated_update(h, agg, _gru_params(enc_params[f"gru_{i}"]))
+            # matches the flax module: bf16 configs run the GRU dense
+            # matmuls in bf16 (GatedUpdate.compute_dtype), f32 otherwise
+            h = gated_update(h, agg, _gru_params(enc_params[f"gru_{i}"]),
+                             dtype=None if dtype == jnp.float32 else dtype)
         else:
             h = h + agg  # keep the chain live without the GRU cost
     if not readout:
         return h
-    pooled = graph_sum_pool(h, g.node_graph, g.n_graphs, g.node_mask,
-                            node_sorted=g.node_sorted)
+    if g.pool_slot is not None and cfg.ep_axis is None:
+        pooled = graph_sum_pool_windowed(h, g.node_graph, g.node_mask,
+                                         g.pool_slot, cfg.onehot_window,
+                                         g.n_graphs)
+    else:
+        pooled = graph_sum_pool(h, g.node_graph, g.n_graphs, g.node_mask,
+                                node_sorted=g.node_sorted)
     fp = (
         jnp.dot(pooled, enc_params["fp_dense"]["kernel"],
                 preferred_element_type=jnp.float32)
@@ -114,8 +133,8 @@ def phase_forward(
     bond_table = trunk["bond_embed"]
 
     if upto == "embed":
-        a = jnp.take(atom_table, batch.cation.atom_ids, axis=0)
-        b = jnp.take(atom_table, batch.anion.atom_ids, axis=0)
+        a = _embed(atom_table, batch.cation, cfg)
+        b = _embed(atom_table, batch.anion, cfg)
         return jnp.sum(a.astype(jnp.float32)) + jnp.sum(b.astype(jnp.float32))
 
     n_msg = {"msg1": 1, "msg4": 4}.get(upto, cfg.num_steps)

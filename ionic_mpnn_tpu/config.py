@@ -116,6 +116,14 @@ class ModelConfig:
     onehot_select: str = "auto"
     gru_impl: str = "reference"  # "fused" packs z|r|candidate into wider matmuls
     scatter_impl: str = "xla"  # "xla" | "pallas" (sorted-scatter TPU kernel)
+    # Atom-embedding lookup: "gather" (jnp.take) | "onehot" ((N, V) one-hot
+    # @ table — value-identical, and the TABLE GRADIENT becomes a matmul
+    # instead of an N-row unsorted scatter-add, the per-row-cost op class
+    # the round-4 phase probe put inside the 3.1 ms backward) | "auto"
+    # (default): onehot whenever the message impl is onehot (i.e. on
+    # accelerators) and the vocab is small enough that the (N, V) one-hot
+    # stays cheap, gather otherwise.
+    embed_impl: str = "auto"
     # Edge-partitioned execution (graph analogue of context parallelism):
     # when set to a mesh axis name and the model runs inside shard_map with
     # edge arrays sharded over that axis, per-shard aggregates are merged

@@ -474,20 +474,36 @@ def _assign_aromatic_bonds(mol: Mol) -> None:
 
 def _compute_implicit_hs(mol: Mol) -> None:
     order_sum = [0.0] * mol.num_atoms
+    degree = [0] * mol.num_atoms
     for b in mol.bonds:
         o = _BOND_ORDER[b.order]
         order_sum[b.a1] += o
         order_sum[b.a2] += o
+        degree[b.a1] += 1
+        degree[b.a2] += 1
     for a in mol.atoms:
         if a.explicit_h is not None:
             a.num_hs = a.explicit_h
+            continue
+        if a.aromatic:
+            # SMILES aromatic-subset rule (OpenSMILES §3.4.4 / RDKit
+            # behavior): hydrogens on aromatic heteroatoms must be
+            # explicit (pyrrole is [nH]; plain aromatic n/o/s/p carry
+            # none — a 3-connected imidazole n or a thiophene s gets 0,
+            # NOT the valence-model leftover). Aromatic carbon carries
+            # 4 − (degree + 1 delocalized double bond) = 3 − degree.
+            if a.element == "C":
+                a.num_hs = max(0, 3 - degree[a.idx] + min(a.formal_charge, 0))
+            elif a.element == "B":
+                a.num_hs = max(0, 2 - degree[a.idx])
+            else:
+                a.num_hs = 0
             continue
         valences = _DEFAULT_VALENCE.get(a.element)
         if valences is None:
             a.num_hs = 0
             continue
-        v = order_sum[a.idx]
-        used = int(v) if not a.aromatic else int(v)  # floor of the 1.5-sums
+        used = int(order_sum[a.idx])
         q = a.formal_charge
         hs = 0
         for dv in valences:

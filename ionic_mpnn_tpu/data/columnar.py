@@ -146,6 +146,14 @@ def _pack_side(
         from ..ops.pallas.segment_sum import check_window_capacity
 
         check_window_capacity(dst, node_cap, edge_mask=edge_mask)
+    pool_slot = None
+    if layout == "window_aligned" and node_offsets is None:
+        # balanced placements (explicit node_offsets) are not row-sorted —
+        # the windowed-readout addressing doesn't hold there
+        from .packing import compute_pool_slots
+
+        pool_slot = compute_pool_slots(node_graph, node_mask, plan.window,
+                                       plan.batch_size)
     return PackedGraphs(
         atom_ids=atom_ids, bond_ids=bond_ids, src=src, dst=dst,
         node_graph=node_graph, node_local=node_local,
@@ -155,6 +163,7 @@ def _pack_side(
         # the C++ packer forward-fills pad ids (sorted readout) except
         # under explicit balanced placement
         node_sorted=node_offsets is None,
+        pool_slot=pool_slot,
     )
 
 
@@ -358,12 +367,22 @@ def iter_batch_groups_fast(
 
         def graphs(side_name: str) -> PackedGraphs:
             b = bufs[side_name]
+            pool_slot = None
+            if layout == "window_aligned" and not plan.balance_tile:
+                from .packing import compute_pool_slots
+
+                pool_slot = np.stack([
+                    compute_pool_slots(b["node_graph"][k], b["node_mask"][k],
+                                       plan.window, B)
+                    for k in range(K)
+                ])
             return PackedGraphs(
                 atom_ids=b["atom_ids"], bond_ids=b["bond_ids"],
                 src=b["src"], dst=b["dst"], node_graph=b["node_graph"],
                 node_local=b["node_local"], node_mask=b["node_mask"],
                 edge_mask=b["edge_mask"], n_graphs=B, edge_layout=layout,
                 node_sorted=not plan.balance_tile,
+                pool_slot=pool_slot,
             )
 
         yield IonPairBatch(

@@ -190,6 +190,14 @@ class PackedGraphs:
     # the layout message_impl="onehot" requires (still valid sorted COO,
     # so every other impl accepts it too).
     edge_layout: str = struct.field(pytree_node=False, default="sorted")
+    # Windowed-readout addressing (window_ALIGNED batches only, where no
+    # molecule straddles a window): graph g's complete pooled sum lives at
+    # row ``pool_slot[g] = w(g)·W + (g − node_graph[w(g)·W])`` of the
+    # per-window one-hot pool (ops/segment.graph_sum_pool_windowed) — the
+    # all-MXU replacement for the N-row segment-sum readout. −1 marks an
+    # empty graph slot (masked to zero on read). None on layouts without
+    # the alignment guarantee (callers fall back to segment-sum).
+    pool_slot: Optional[np.ndarray] = None  # (B,) int32 or None
 
     @property
     def node_capacity(self) -> int:
@@ -437,6 +445,45 @@ def pack_ion_pair_batch(
 ONEHOT_WINDOW = 128  # node window for message_impl="onehot" (lane-width)
 
 
+def compute_pool_slots(
+    node_graph: np.ndarray,
+    node_mask: np.ndarray,
+    window: int,
+    n_graphs: int,
+) -> np.ndarray:
+    """Per-graph windowed-readout row: ``w(g)·W + (g − node_graph[w(g)·W])``.
+
+    Valid ONLY when no molecule straddles a window (window_aligned
+    packing): graph ``g``'s complete masked node sum then equals row
+    ``pool_slot[g]`` of the per-window one-hot pool
+    (:func:`ionic_mpnn_tpu.ops.segment.graph_sum_pool_windowed`), making
+    the readout batched MXU matmuls + one B-row gather instead of an
+    N-row segment-sum. Empty graph slots get −1 (masked to zero).
+    """
+    ng = np.asarray(node_graph).astype(np.int64)
+    nm = np.asarray(node_mask)
+    slots = np.full(n_graphs, -1, np.int32)
+    real = np.flatnonzero(nm)
+    if not len(real):
+        return slots
+    gids = ng[real]
+    # first real node row per graph (reversed assignment: earliest wins)
+    first = np.full(n_graphs, -1, np.int64)
+    first[gids[::-1]] = real[::-1]
+    has = first >= 0
+    w = first[has] // window
+    base = ng[w * window]  # first graph id addressed by each window
+    local = np.arange(n_graphs, dtype=np.int64)[has] - base
+    if len(local) and (local.min() < 0 or local.max() >= window):
+        raise GraphCapacityError(
+            "windowed readout addressing violated — batch is not "
+            "window-aligned (a molecule straddles a window or windows "
+            "start with gap rows)"
+        )
+    slots[has] = (w * window + local).astype(np.int32)
+    return slots
+
+
 def window_tile_edges(
     g: PackedGraphs, tile: int, window: int = ONEHOT_WINDOW,
     aligned: bool = False,
@@ -532,6 +579,14 @@ def window_tile_edges(
         n_graphs=g.n_graphs,
         edge_layout="window_aligned" if aligned else "window",
         node_sorted=g.node_sorted,
+        # aligned ⇒ no molecule straddles a window ⇒ the windowed one-hot
+        # readout is exact; halo ("window") batches fall back to
+        # segment-sum, as do BALANCED placements (node_sorted=False:
+        # window loads don't follow slot order, so the base-graph
+        # addressing below doesn't hold)
+        pool_slot=(compute_pool_slots(g.node_graph, g.node_mask, window,
+                                      g.n_graphs)
+                   if aligned and g.node_sorted else None),
     )
 
 

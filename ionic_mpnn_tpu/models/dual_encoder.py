@@ -29,7 +29,7 @@ from flax import linen as nn
 from ..config import ModelConfig
 from ..data.packing import PackedGraphs
 from ..ops.message import parity_edge_mask
-from ..ops.segment import graph_sum_pool
+from ..ops.segment import graph_sum_pool, graph_sum_pool_windowed
 from .layers import BondMatrixMessage, GatedUpdate, glorot, keras_embed_init
 
 __all__ = ["IonEncoder", "DualEncoderTrunk"]
@@ -50,7 +50,22 @@ class IonEncoder(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
-        h = jnp.take(atom_table, graphs.atom_ids, axis=0).astype(dtype)  # (N, D)
+        embed = cfg.embed_impl
+        if embed == "auto":
+            # one-hot on the accelerator (onehot-message) path while the
+            # (N, V) one-hot stays small; value-identical to the gather,
+            # but the table grad is a (V, N) @ (N, D) matmul instead of an
+            # N-row unsorted scatter-add (per-row cost class — the phase
+            # probe's backward term, see config.ModelConfig.embed_impl)
+            embed = ("onehot" if cfg.message_impl == "onehot"
+                     and cfg.atom_vocab_size + 1 <= 128 else "gather")
+        if embed == "onehot":
+            oh = jax.nn.one_hot(graphs.atom_ids, atom_table.shape[0],
+                                dtype=dtype)
+            h = jnp.dot(oh, atom_table.astype(dtype),
+                        preferred_element_type=jnp.float32).astype(dtype)
+        else:
+            h = jnp.take(atom_table, graphs.atom_ids, axis=0).astype(dtype)  # (N, D)
 
         edge_mask = graphs.edge_mask
         if cfg.parity_mode:
@@ -99,13 +114,25 @@ class IonEncoder(nn.Module):
                 name=f"bmm_{step}",
             )(h, bond_table, graphs.bond_ids, graphs.src, graphs.dst, edge_mask)
             h = GatedUpdate(atom_dim=cfg.atom_dim, impl=cfg.gru_impl,
+                            # None for f32 keeps the exact legacy promotion
+                            compute_dtype=(dtype if dtype != jnp.float32
+                                           else None),
                             name=f"gru_{step}")(
                 h, agg, deterministic=deterministic
             )
 
-        pooled = graph_sum_pool(h, graphs.node_graph, graphs.n_graphs,
-                                graphs.node_mask,
-                                node_sorted=graphs.node_sorted)
+        if graphs.pool_slot is not None and cfg.ep_axis is None:
+            # aligned batches: all-MXU windowed one-hot readout (the phase
+            # probe put 0.79 ms of the 2.21 ms forward in the two
+            # segment-sum pools at batch 2048 — ops/segment.py docstring)
+            pooled = graph_sum_pool_windowed(
+                h, graphs.node_graph, graphs.node_mask, graphs.pool_slot,
+                cfg.onehot_window, graphs.n_graphs,
+            )
+        else:
+            pooled = graph_sum_pool(h, graphs.node_graph, graphs.n_graphs,
+                                    graphs.node_mask,
+                                    node_sorted=graphs.node_sorted)
         if cfg.ep_axis is not None and cfg.message_impl == "onehot":
             # node-sharded aligned EP (parallel/aligned_partition.py): each
             # shard pooled only its own node rows into the GLOBAL graph

@@ -17,6 +17,8 @@ uniform(±0.05) embeddings) so training dynamics are comparable.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -233,6 +235,12 @@ class GatedUpdate(nn.Module):
     atom_dim: int
     dropout_rate: float = 0.0
     impl: str = "reference"  # "reference" | "fused"
+    # Dense matmul compute dtype (param storage stays f32). The default
+    # promotes to f32 (flax dtype=None with f32 params); production bf16
+    # configs pass the model compute dtype so the 24 GRU matmuls per step
+    # run at bf16 MXU rate — LayerNorm stays f32 (f32 params + explicit
+    # f32 input cast) for stable mean/var.
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -242,11 +250,16 @@ class GatedUpdate(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         D = self.atom_dim
-        concat = jnp.concatenate([node_states, agg], axis=-1)
+        dt = self.compute_dtype
+        concat = jnp.concatenate(
+            [node_states.astype(dt) if dt else node_states,
+             agg.astype(dt) if dt else agg], axis=-1)
         if self.impl == "fused":
             wz, bz = _DenseParams(2 * D, D, name="dense_z")()
             wr, br = _DenseParams(2 * D, D, name="dense_r")()
             wh, bh = _DenseParams(2 * D, D, name="dense_h")()
+            if dt:
+                wz, wr, wh = (w.astype(dt) for w in (wz, wr, wh))
             w1 = jnp.concatenate(
                 [wz, wr, jnp.concatenate([jnp.zeros_like(wh[:D]), wh[D:]], axis=0)],
                 axis=1,
@@ -256,21 +269,25 @@ class GatedUpdate(nn.Module):
             z = jax.nn.sigmoid(out1[:, :D])
             r = jax.nn.sigmoid(out1[:, D:2 * D])
             h_tilde = jnp.tanh(
-                jnp.dot(r * node_states, wh[:D], preferred_element_type=jnp.float32)
+                jnp.dot((r * node_states).astype(dt) if dt else r * node_states,
+                        wh[:D], preferred_element_type=jnp.float32)
                 + out1[:, 2 * D:]
             )
         else:
             z = jax.nn.sigmoid(
-                nn.Dense(D, kernel_init=glorot(), name="dense_z")(concat)
+                nn.Dense(D, kernel_init=glorot(), dtype=dt, name="dense_z")(concat)
             )
             r = jax.nn.sigmoid(
-                nn.Dense(D, kernel_init=glorot(), name="dense_r")(concat)
+                nn.Dense(D, kernel_init=glorot(), dtype=dt, name="dense_r")(concat)
             )
-            h_input = jnp.concatenate([r * node_states, agg], axis=-1)
+            h_input = jnp.concatenate(
+                [(r * node_states).astype(dt) if dt else r * node_states,
+                 agg.astype(dt) if dt else agg], axis=-1)
             h_tilde = jnp.tanh(
-                nn.Dense(D, kernel_init=glorot(), name="dense_h")(h_input)
+                nn.Dense(D, kernel_init=glorot(), dtype=dt, name="dense_h")(h_input)
             )
-        new_state = (1.0 - z) * node_states + z * h_tilde
+        new_state = (1.0 - z.astype(jnp.float32)) * node_states \
+            + z.astype(jnp.float32) * h_tilde.astype(jnp.float32)
         new_state = nn.LayerNorm(epsilon=1e-3, name="layernorm")(new_state)
         new_state = new_state + node_states
         if self.dropout_rate > 0.0:

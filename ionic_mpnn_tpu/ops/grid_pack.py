@@ -325,6 +325,23 @@ def pack_side_on_device(
     )
 
 
+def device_pool_slots(
+    node_graph: jnp.ndarray, window: int, n_graphs: int
+) -> jnp.ndarray:
+    """Device analogue of ``data.packing.compute_pool_slots`` for ALIGNED
+    device packs (no molecule straddles a window, node_graph
+    non-decreasing with forward-filled pads): graph ``g`` lives in the
+    first window whose last id ≥ g (binary search — no scatter), and its
+    windowed-readout row is ``w·W + (g − node_graph[w·W])``."""
+    N = int(node_graph.shape[0])
+    nw = N // window
+    ngw = node_graph.reshape(nw, window)
+    g = jnp.arange(n_graphs, dtype=node_graph.dtype)
+    w = jnp.clip(jnp.searchsorted(ngw[:, -1], g, side="left"), 0, nw - 1)
+    local = jnp.clip(g - ngw[w, 0], 0, window - 1)
+    return (w * window + local).astype(jnp.int32)
+
+
 def pack_side_padded(
     pool: DevicePool,
     sel: jnp.ndarray,  # (B,) int32 ion indices into the pool
@@ -382,6 +399,10 @@ def pack_side_padded(
     dst = jnp.where(emask, e[..., 1] + base, base).reshape(-1).astype(jnp.int32)
     bond_ids = jnp.where(emask, bonds + 1, 0).reshape(-1).astype(jnp.int32)
 
+    # pitch | window ⇒ closed-form windowed-readout addressing
+    gpw = window // pitch
+    pool_slot = ((slot // gpw) * window + slot % gpw).astype(jnp.int32)
+
     return PackedGraphs(
         atom_ids=atom_ids.astype(jnp.int32),
         bond_ids=bond_ids,
@@ -394,6 +415,7 @@ def pack_side_padded(
         n_graphs=B,
         edge_layout="window_aligned",
         node_sorted=True,
+        pool_slot=pool_slot,
     )
 
 
@@ -468,6 +490,8 @@ def window_tile_on_device(
         # molecule) — the onehot op then runs halo-free
         edge_layout="window_aligned" if aligned else "window",
         node_sorted=g.node_sorted,
+        pool_slot=(device_pool_slots(g.node_graph, window, g.n_graphs)
+                   if aligned else None),
     )
 
 

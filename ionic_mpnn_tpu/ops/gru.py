@@ -37,19 +37,38 @@ def gated_update(
     agg: jnp.ndarray,  # (N, D)
     params: Dict[str, jnp.ndarray],
     ln_eps: float = 1e-3,
+    dtype=None,
 ) -> jnp.ndarray:
-    """Apply the gated update to every packed node. Returns (N, D)."""
-    concat = jnp.concatenate([node_states, agg], axis=-1)
-    z = jax.nn.sigmoid(
-        jnp.dot(concat, params["wz"], preferred_element_type=jnp.float32) + params["bz"]
-    )
-    r = jax.nn.sigmoid(
-        jnp.dot(concat, params["wr"], preferred_element_type=jnp.float32) + params["br"]
-    )
-    h_input = jnp.concatenate([r * node_states, agg], axis=-1)
-    h_tilde = jnp.tanh(
-        jnp.dot(h_input, params["wh"], preferred_element_type=jnp.float32) + params["bh"]
-    )
+    """Apply the gated update to every packed node. Returns (N, D).
+
+    ``dtype`` mirrors ``models.layers.GatedUpdate.compute_dtype``: the
+    three Dense matmuls run in that dtype (bf16 on production
+    accelerator configs) while the blend + LayerNorm stay f32."""
+    if dtype:
+        cast = {k: v.astype(dtype) for k, v in params.items()
+                if k in ("wz", "bz", "wr", "br", "wh", "bh")}
+        concat = jnp.concatenate(
+            [node_states.astype(dtype), agg.astype(dtype)], axis=-1)
+        z = jax.nn.sigmoid(jnp.dot(concat, cast["wz"]) + cast["bz"])
+        r = jax.nn.sigmoid(jnp.dot(concat, cast["wr"]) + cast["br"])
+        h_input = jnp.concatenate(
+            [(r * node_states.astype(dtype)).astype(dtype),
+             agg.astype(dtype)], axis=-1)
+        h_tilde = jnp.tanh(jnp.dot(h_input, cast["wh"]) + cast["bh"])
+        z = z.astype(jnp.float32)
+        h_tilde = h_tilde.astype(jnp.float32)
+    else:
+        concat = jnp.concatenate([node_states, agg], axis=-1)
+        z = jax.nn.sigmoid(
+            jnp.dot(concat, params["wz"], preferred_element_type=jnp.float32) + params["bz"]
+        )
+        r = jax.nn.sigmoid(
+            jnp.dot(concat, params["wr"], preferred_element_type=jnp.float32) + params["br"]
+        )
+        h_input = jnp.concatenate([r * node_states, agg], axis=-1)
+        h_tilde = jnp.tanh(
+            jnp.dot(h_input, params["wh"], preferred_element_type=jnp.float32) + params["bh"]
+        )
     new_state = (1.0 - z) * node_states + z * h_tilde
     mean = new_state.mean(axis=-1, keepdims=True)
     var = jnp.mean((new_state - mean) ** 2, axis=-1, keepdims=True)

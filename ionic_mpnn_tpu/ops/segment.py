@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["segment_sum", "aggregate_to_nodes", "graph_sum_pool", "graph_mean_pool"]
+__all__ = ["segment_sum", "aggregate_to_nodes", "graph_sum_pool",
+           "graph_sum_pool_windowed", "graph_mean_pool"]
 
 
 def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
@@ -59,6 +60,52 @@ def graph_sum_pool(
     weighted = node_states * node_mask[:, None].astype(node_states.dtype)
     return jax.ops.segment_sum(weighted, node_graph, num_segments=n_graphs,
                                indices_are_sorted=node_sorted)
+
+
+def graph_sum_pool_windowed(
+    node_states: jnp.ndarray,  # (N, D)
+    node_graph: jnp.ndarray,  # (N,) int32, non-decreasing (aligned packer)
+    node_mask: jnp.ndarray,  # (N,) bool
+    pool_slot: jnp.ndarray,  # (B,) int32 from packing.compute_pool_slots
+    window: int,
+    n_graphs: int,
+) -> jnp.ndarray:
+    """All-MXU masked per-graph sum for window-ALIGNED batches.
+
+    The round-4 phase probe attributed 0.79 ms of the 2.21 ms production
+    forward (batch 2048) to the two segment-sum readouts — per-row
+    scatter cost again, same diagnosis as the message op (CLAUDE.md). On
+    aligned batches no molecule straddles a window, so each graph's
+    complete sum is one row of a PER-WINDOW one-hot pool::
+
+        local[w, n]   = node_graph[w·W + n] − node_graph[w·W]
+        o[w, t, n]    = (local[w, n] == t) & mask          (t, n < W)
+        rows[w, t, :] = Σ_n o[w, t, n] · h[w·W + n, :]      (batched MXU)
+        pooled[g]     = rows.reshape(nw·W, D)[pool_slot[g]]
+
+    — batched (W, W) @ (W, D) matmuls plus ONE B-row gather; the
+    autodiff backward is the transposed matmul + a B-row scatter (vs the
+    N-row gather of the segment-sum backward). Pad/gap rows are masked
+    out of ``o``; empty graph slots carry ``pool_slot == −1`` and read 0.
+
+    Reference math covered: ``models/layers.py:159-164`` (GlobalSumPool).
+    """
+    N, D = node_states.shape
+    assert N % window == 0, (N, window)
+    nw = N // window
+    dtype = node_states.dtype
+    ngw = node_graph.reshape(nw, window)
+    local = ngw - ngw[:, :1]
+    o = (local[:, None, :] == jnp.arange(window, dtype=node_graph.dtype)[None, :, None])
+    o = o & node_mask.reshape(nw, 1, window)
+    rows = jnp.einsum(
+        "wtn,wnd->wtd", o.astype(dtype), node_states.reshape(nw, window, D),
+        preferred_element_type=jnp.float32,
+    )
+    flat = rows.reshape(nw * window, D)
+    safe = jnp.clip(pool_slot, 0, nw * window - 1)
+    pooled = jnp.take(flat, safe, axis=0)
+    return pooled * (pool_slot >= 0)[:, None].astype(pooled.dtype)
 
 
 def graph_mean_pool(

@@ -123,6 +123,9 @@ def shard_graphs_aligned(
         src=src.reshape(n_shards, es) - offs,
         dst=dst.reshape(n_shards, es) - offs,
         edge_mask=mask.reshape(n_shards, es),
+        # windowed-readout addressing is whole-batch; per shard it is
+        # meaningless (and the EP encoder pools via segment-sum + psum)
+        pool_slot=None,
     )
 
 

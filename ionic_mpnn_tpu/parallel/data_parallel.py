@@ -24,7 +24,8 @@ from ..config import ModelConfig, TrainConfig
 from ..data.packing import IonPairBatch
 from ..training.loop import TrainState, _data_loss, _l2_penalty
 
-__all__ = ["stack_batches", "shard_batch", "make_dp_train_step"]
+__all__ = ["stack_batches", "shard_batch", "make_dp_train_step",
+           "make_per_device_step"]
 
 
 def stack_batches(batches: Sequence[IonPairBatch]) -> IonPairBatch:
@@ -46,37 +47,23 @@ def _squeeze_leading(batch: IonPairBatch) -> IonPairBatch:
     return jax.tree.map(lambda x: x[0], batch)
 
 
-def make_dp_train_step(
+def make_per_device_step(
     model,
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
-    mesh: Mesh,
+    n_data: int,
     data_axis: str = "data",
     has_batch_stats: bool = False,
-    steps_per_call: int = 1,
-) -> Callable[[TrainState, IonPairBatch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build the SPMD train step.
-
-    With ``steps_per_call == 1`` (default): input batch is a stacked
-    :class:`IonPairBatch` with leading axis = ``mesh.shape[data_axis]``,
-    sharded over the data axis (see :func:`shard_batch`); returns
-    ``{"loss", "n"}``. State is replicated.
-
-    With ``steps_per_call == K > 1``: dispatch amortization composed with
-    DP — the input carries TWO leading axes ``(K, n_dev, ...)`` (see
-    :func:`stack_batch_groups`), a ``lax.scan`` over K runs INSIDE the
-    shard_map body so one host dispatch drives K optimizer steps with one
-    gradient psum each, and group-padding all-empty scan slots are
-    skipped under ``lax.cond`` (the predicate is a psum → uniform across
-    shards, so the collective placement stays SPMD-safe). Returns
-    ``{"loss_sum", "n"}`` (sample-weighted, like ``make_scan_train_step``).
-    """
+):
+    """The DP step body that runs INSIDE shard_map on each device: takes a
+    local (un-stacked) :class:`IonPairBatch`, psums grads/loss over
+    ``data_axis``, applies the optimizer to the replicated state. Shared
+    by :func:`make_dp_train_step` and the DP device-resident epoch runner
+    (``training/device_epochs.make_dp_device_epoch_call``)."""
     loss_kind, delta, l2 = train_cfg.loss, train_cfg.huber_delta, model_cfg.fp_l2
-    n_data = mesh.shape[data_axis]
 
-    def per_device_step(state: TrainState, dev_batch: IonPairBatch):
-        batch = _squeeze_leading(dev_batch)  # strip the sharded leading axis
+    def per_device_step(state: TrainState, batch: IonPairBatch):
         rng = jax.random.fold_in(state.rng, jax.lax.axis_index(data_axis))
         rng, dropout_rng = jax.random.split(rng)
 
@@ -119,6 +106,42 @@ def make_dp_train_step(
             rng=jax.random.fold_in(state.rng, 1),
         )
         return new_state, {"loss": loss, "n": global_n}
+
+    return per_device_step
+
+
+def make_dp_train_step(
+    model,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    data_axis: str = "data",
+    has_batch_stats: bool = False,
+    steps_per_call: int = 1,
+) -> Callable[[TrainState, IonPairBatch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the SPMD train step.
+
+    With ``steps_per_call == 1`` (default): input batch is a stacked
+    :class:`IonPairBatch` with leading axis = ``mesh.shape[data_axis]``,
+    sharded over the data axis (see :func:`shard_batch`); returns
+    ``{"loss", "n"}``. State is replicated.
+
+    With ``steps_per_call == K > 1``: dispatch amortization composed with
+    DP — the input carries TWO leading axes ``(K, n_dev, ...)`` (see
+    :func:`stack_batch_groups`), a ``lax.scan`` over K runs INSIDE the
+    shard_map body so one host dispatch drives K optimizer steps with one
+    gradient psum each, and group-padding all-empty scan slots are
+    skipped under ``lax.cond`` (the predicate is a psum → uniform across
+    shards, so the collective placement stays SPMD-safe). Returns
+    ``{"loss_sum", "n"}`` (sample-weighted, like ``make_scan_train_step``).
+    """
+    n_data = mesh.shape[data_axis]
+    inner = make_per_device_step(model, model_cfg, train_cfg, optimizer,
+                                 n_data, data_axis, has_batch_stats)
+
+    def per_device_step(state: TrainState, dev_batch: IonPairBatch):
+        return inner(state, _squeeze_leading(dev_batch))
 
     state_spec = P()  # replicated
 

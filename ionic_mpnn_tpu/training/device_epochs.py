@@ -35,7 +35,8 @@ import numpy as np
 from ..data.packing import IonPairBatch
 from ..ops.grid_pack import DevicePool, device_pool, pack_side_padded, pool_pitch
 
-__all__ = ["DeviceDataset", "build_device_dataset", "make_device_epoch_call"]
+__all__ = ["DeviceDataset", "build_device_dataset", "make_device_epoch_call",
+           "make_dp_device_epoch_call"]
 
 
 class _GraphPool:
@@ -75,6 +76,20 @@ class DeviceDataset:
         self.n = n
         self.window = window
         self.with_temperature = with_temperature
+
+    def arrays(self):
+        """The device-array pytree (for passing as a jit ARGUMENT — e.g.
+        through shard_map in_specs — instead of closing over it)."""
+        return (self.cat_pool, self.an_pool, self.cat_idx, self.an_idx,
+                self.temperature, self.y)
+
+    def with_arrays(self, arrays) -> "DeviceDataset":
+        """View of this dataset with the array pytree replaced (static
+        metadata n/window/with_temperature preserved)."""
+        cat_pool, an_pool, cat_idx, an_idx, temperature, y = arrays
+        return DeviceDataset(cat_pool, an_pool, cat_idx, an_idx,
+                             temperature, y, self.n, self.window,
+                             self.with_temperature)
 
 
 def _dedupe(records: Sequence[Dict[str, Any]], side: str):
@@ -130,6 +145,89 @@ def build_device_dataset(
     )
 
 
+def _device_batch(ds: DeviceDataset, idx: jnp.ndarray) -> IonPairBatch:
+    """Pack one batch ON DEVICE from permutation indices (sentinel ds.n ⇒
+    masked slot cloning record 0)."""
+    valid = idx < ds.n
+    safe = jnp.where(valid, idx, 0)
+    B = int(idx.shape[0])
+    return IonPairBatch(
+        cation=pack_side_padded(ds.cat_pool, ds.cat_idx[safe], ds.window),
+        anion=pack_side_padded(ds.an_pool, ds.an_idx[safe], ds.window),
+        temperature=(jnp.where(valid, ds.temperature[safe], 0.0)[:, None]
+                     if ds.with_temperature
+                     else jnp.zeros((B, 1), jnp.float32)),
+        y=jnp.where(valid, ds.y[safe], 0.0),
+        sample_mask=valid.astype(jnp.float32),
+    )
+
+
+def make_dp_device_epoch_call(
+    model, model_cfg, train_cfg, optimizer, mesh, ds: DeviceDataset,
+    batch_size: int, steps_per_call: int,
+    data_axis: str = "data", has_batch_stats: bool = False,
+):
+    """Data-parallel device-resident epochs (round-4 VERDICT item 3).
+
+    The dataset pools upload once (replicated — they're read-only);
+    each epoch ships one shuffled permutation. INSIDE the shard_map body
+    device ``d`` slices its own ``B`` indices at
+    ``g0 + (k·n_dev + d)·B`` and packs its batch on device, then runs the
+    shared DP step (grad psum over ``data_axis`` —
+    ``parallel/data_parallel.make_per_device_step``), under the same
+    all-empty-slot ``lax.cond`` skip as the host DP group path (the
+    predicate is a psum ⇒ uniform across shards).
+
+    Signature: ``call(state, ds_arrays, perm, g0) -> (state,
+    {"loss_sum", "n"})`` — ``ds_arrays`` is ``ds.arrays()``, passed as an
+    ARGUMENT (never closed over: host-constant closures poison this
+    backend, CLAUDE.md) and replicated; ``perm`` must be padded to a
+    multiple of ``n_dev·B·K`` with the sentinel ``ds.n``.
+    """
+    import jax.sharding as shd
+    from jax import shard_map
+
+    from ..parallel.data_parallel import make_per_device_step
+
+    P = shd.PartitionSpec
+    n_dev = int(mesh.shape[data_axis])
+    B, K = batch_size, steps_per_call
+    inner = make_per_device_step(model, model_cfg, train_cfg, optimizer,
+                                 n_dev, data_axis, has_batch_stats)
+
+    def per_device(state, ds_arrays, perm, g0):
+        d = jax.lax.axis_index(data_axis)
+        local = ds.with_arrays(ds_arrays)
+
+        def body(s, k):
+            start = g0 + (k * n_dev + d) * B
+            idx = jax.lax.dynamic_slice(perm, (start,), (B,))
+            batch = _device_batch(local, idx)
+            n_global = jax.lax.psum(jnp.sum(batch.sample_mask), data_axis)
+
+            def run(s_):
+                s2, m = inner(s_, batch)
+                return s2, (m["loss"], m["n"])
+
+            def skip(s_):
+                return s_, (jnp.float32(0.0), jnp.float32(0.0))
+
+            return jax.lax.cond(n_global > 0, run, skip, s)
+
+        state, (losses, ns) = jax.lax.scan(
+            body, state, jnp.arange(K, dtype=jnp.int32))
+        return state, {"loss_sum": jnp.sum(losses * ns), "n": jnp.sum(ns)}
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),  # state + dataset + perm replicated
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 def make_device_epoch_call(inner_step, ds: DeviceDataset, batch_size: int,
                            steps_per_call: int):
     """Jitted K-step scan that PACKS each batch on device from a shuffled
@@ -141,25 +239,12 @@ def make_device_epoch_call(inner_step, ds: DeviceDataset, batch_size: int,
     ``g0``/``perm`` are traced, so every group of every epoch reuses ONE
     compiled program.
     """
-    B, K, n = batch_size, steps_per_call, ds.n
-    cat_pool, an_pool = ds.cat_pool, ds.an_pool
-    cat_idx, an_idx = ds.cat_idx, ds.an_idx
-    temps, ys, window = ds.temperature, ds.y, ds.window
-    with_t = ds.with_temperature
+    B, K = batch_size, steps_per_call
 
     def call(state, perm, g0):
         def body(s, k):
             idx = jax.lax.dynamic_slice(perm, (g0 + k * B,), (B,))
-            valid = idx < n
-            safe = jnp.where(valid, idx, 0)
-            batch = IonPairBatch(
-                cation=pack_side_padded(cat_pool, cat_idx[safe], window),
-                anion=pack_side_padded(an_pool, an_idx[safe], window),
-                temperature=(jnp.where(valid, temps[safe], 0.0)[:, None]
-                             if with_t else jnp.zeros((B, 1), jnp.float32)),
-                y=jnp.where(valid, ys[safe], 0.0),
-                sample_mask=valid.astype(jnp.float32),
-            )
+            batch = _device_batch(ds, idx)
             s2, m = inner_step(s, batch)
             nk = jnp.sum(batch.sample_mask)
             return s2, (m["loss"] * nk, nk)

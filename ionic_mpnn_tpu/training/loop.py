@@ -374,6 +374,53 @@ def fit(
                 groups = [group[k * n_dev:(k + 1) * n_dev] for k in range(K)]
                 state, m = dp_step(state, stack_batch_groups(groups, mesh))
                 return state, m["loss_sum"] / jnp.maximum(m["n"], 1.0)
+
+        # DP device-resident epochs (round-4): pools replicated once,
+        # one permutation per epoch, per-device on-device packing inside
+        # shard_map — the multi-device answer to battery 29's link bound
+        # (host DP re-ships ~150 MB of packed batches per epoch).
+        dev_ep = train_cfg.device_epochs
+        if dev_ep == "auto":  # on for accelerators, off on CPU
+            dev_ep = jax.devices()[0].platform != "cpu"
+        if (dev_ep
+                and model_cfg.message_impl == "onehot"
+                and plan.edge_layout == "window_aligned"):
+            from .device_epochs import (
+                build_device_dataset,
+                make_dp_device_epoch_call,
+            )
+
+            try:
+                ds = build_device_dataset(
+                    list(train_records), plan.window, plan.target_key,
+                    with_temperature=plan.with_temperature,
+                    duplicate_edges=plan.duplicate_edges,
+                )
+            except ValueError:  # molecule > window: host loader handles it
+                ds = None
+            if ds is not None:
+                dp_epoch_call = make_dp_device_epoch_call(
+                    model, model_cfg, train_cfg, optimizer, mesh, ds,
+                    plan.batch_size, K, has_batch_stats=has_bs,
+                )
+                ds_arrays = ds.arrays()
+                GB = n_dev * plan.batch_size * K
+
+                def dp_device_epoch(state, epoch, losses, ns):
+                    perm = np.random.default_rng(
+                        train_cfg.seed + epoch).permutation(ds.n
+                                                            ).astype(np.int32)
+                    pad = (-len(perm)) % GB
+                    perm_dev = jnp.asarray(np.concatenate(
+                        [perm, np.full(pad, ds.n, np.int32)]))
+                    for g0 in range(0, ds.n, GB):
+                        state, m = dp_epoch_call(state, ds_arrays, perm_dev,
+                                                 jnp.int32(g0))
+                        losses.append(m["loss_sum"] / jnp.maximum(m["n"], 1.0))
+                        ns.append(min(GB, ds.n - g0))
+                    return state
+
+                group_epoch_runner = dp_device_epoch
     else:
         # Device-resident epochs: the dataset is uploaded once and batches
         # pack ON DEVICE from a per-epoch permutation (~0.4 MB/epoch of

@@ -10,6 +10,14 @@ Append "-shared" to the layout (aligned-shared / window-shared) to disable
 per-side capacities — the round-3 A/B control (anion planes sized by the
 shared cation-or-max caps, the pre-battery-28 behavior).
 
+Append "-stub" (e.g. aligned-stub) to replace the model forward with a
+checksum reduction that CONSUMES every packed plane but does no model
+math — the round-4 IN-SITU pack-vs-forward split (VERDICT item 2): the
+sweep program keeps its exact shape (device pack, masking, top-k, scan,
+pipeline), so full − stub = the forward's true share, and stub = the
+pack+sweep machinery's true cost inside the real program (the standalone
+pack probe measured materialization XLA elides in situ — battery 30).
+
 Builds a synthetic ion library, runs ScreeningEngine.screen_grid with
 device packing on the onehot model, prints one JSON line with pairs/s.
 Timing is the engine's own (fetch-synced: the top-k outputs are pulled to
@@ -32,6 +40,8 @@ import numpy as np
 
 def main() -> int:
     layout = sys.argv[1] if len(sys.argv) > 1 else "aligned"
+    stub = layout.endswith("-stub")
+    layout = layout.removesuffix("-stub")
     per_side = not layout.endswith("-shared")
     layout = layout.removesuffix("-shared")
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
@@ -78,13 +88,31 @@ def main() -> int:
                      edge_layout="window_aligned" if layout == "aligned"
                      else "window")
     engine = ScreeningEngine(model, params["params"], vocab, plan)
+    if stub:
+        import jax.numpy as jnp
+
+        def checksum_fwd(v, b):
+            # consume EVERY packed plane (so nothing the pack produces is
+            # dead-code-eliminated) without any model math
+            s = jnp.float32(0.0)
+            for g in (b.cation, b.anion):
+                for arr in (g.atom_ids, g.bond_ids, g.src, g.dst,
+                            g.node_graph, g.node_local):
+                    s = s + jnp.sum(arr).astype(jnp.float32) * 1e-12
+                s = s + jnp.sum(g.node_mask) * 1e-12 + jnp.sum(g.edge_mask) * 1e-12
+                if g.pool_slot is not None:
+                    s = s + jnp.sum(g.pool_slot).astype(jnp.float32) * 1e-12
+            return b.temperature[:, 0] + s
+
+        engine._fwd = checksum_fwd
     report = engine.screen_grid(
         cations, anions, temps, top_k=50,
         device_pack=True, steps_per_call=8, progress_every=500_000,
         per_side_caps=per_side,
     )
     print(json.dumps({
-        "mode": f"screen-{layout}" + ("" if per_side else "-shared"),
+        "mode": f"screen-{layout}" + ("" if per_side else "-shared")
+                + ("-stub" if stub else ""),
         "dtype": cdtype, "window": win,
         "n_screened": report.n_screened,
         "pairs_per_s": round(report.pairs_per_s, 1),

@@ -100,6 +100,98 @@ def test_device_epoch_padded_tail_masked(encoded_viscosity):
     assert np.isfinite(float(m["loss_sum"]))
 
 
+@pytest.mark.multidevice
+def test_dp_device_epoch_step_matches_single_device(encoded_viscosity):
+    """One DP device-epoch call on the 8-device mesh == the single-device
+    device-epoch call over the same 8·B records (grad psum exactness)."""
+    from jax.sharding import Mesh
+
+    from ionic_mpnn_tpu.training.device_epochs import make_dp_device_epoch_call
+    from ionic_mpnn_tpu.training.loop import TrainState
+
+    n_dev = 8
+    B = 8
+    records, cfg, model, plan, params = _setup(encoded_viscosity,
+                                               n=n_dev * B, batch=B)
+    tcfg = TrainConfig(batch_size=B, steps_per_call=1, seed=3)
+    opt = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+    ds = build_device_dataset(records, plan.window, plan.target_key)
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.int32(0), params=jax.tree.map(jnp.array, params["params"]),
+            batch_stats={}, opt_state=opt.init(params["params"]),
+            rng=jax.random.PRNGKey(7),
+        )
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    dp_call = make_dp_device_epoch_call(model, cfg, tcfg, opt, mesh, ds,
+                                        batch_size=B, steps_per_call=1)
+    perm = jnp.asarray(np.arange(n_dev * B, dtype=np.int32))
+    dp_state, dp_m = dp_call(fresh_state(), ds.arrays(), perm, jnp.int32(0))
+
+    # single-device reference: ONE step over the same 32 records as one
+    # batch is not equivalent (different Adam step count) — instead check
+    # the DP loss against the mean of the 8 per-device host losses and
+    # that params moved and stayed finite and replicated.
+    assert float(dp_m["n"]) == n_dev * B
+    loss = float(dp_m["loss_sum"] / dp_m["n"])
+    assert np.isfinite(loss)
+    for leaf in jax.tree.leaves(dp_state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # exactness vs a hand-built global batch: the DP step's psum'd grad
+    # equals the single-device grad over the concatenated 8-device batch
+    # (same global loss weighting by construction) — run the host DP step
+    # on the SAME record split and compare updated params.
+    from ionic_mpnn_tpu.parallel.data_parallel import (
+        make_dp_train_step,
+        shard_batch,
+        stack_batches,
+    )
+
+    group = []
+    for d in range(n_dev):
+        sel = records[d * B:(d + 1) * B]
+        group.append(
+            next(iter_batches(sel, plan, shuffle=False))
+        )
+    dp_step = make_dp_train_step(model, cfg, tcfg, opt, mesh)
+    host_state, host_m = dp_step(fresh_state(),
+                                 shard_batch(stack_batches(group), mesh))
+    np.testing.assert_allclose(loss, float(host_m["loss"]),
+                               rtol=2e-5, atol=1e-6)
+    for d, h in zip(jax.tree.leaves(dp_state.params),
+                    jax.tree.leaves(host_state.params)):
+        np.testing.assert_allclose(np.asarray(d), np.asarray(h),
+                                   rtol=5e-4, atol=5e-6)
+
+
+@pytest.mark.multidevice
+def test_fit_dp_device_epochs_learns(encoded_viscosity):
+    """fit(mesh, device_epochs=True) takes the DP device-resident path
+    and trains (loss decreases)."""
+    from jax.sharding import Mesh
+
+    from ionic_mpnn_tpu.training.loop import fit
+
+    vocab = encoded_viscosity["vocab"]
+    records = encoded_viscosity["viscosity"]
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                           num_steps=2, message_impl="onehot")
+    plan = plan_capacities(records, batch_size=8,
+                           edge_layout="window_aligned")
+    tcfg = TrainConfig(epochs=6, batch_size=8, steps_per_call=2,
+                       early_stopping_patience=100, seed=0,
+                       device_epochs=True)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    result = fit(ViscosityModel(cfg), cfg, tcfg, records[:96], records[96:104],
+                 plan, verbose=False, mesh=mesh)
+    assert len(result.history["loss"]) == 6
+    assert result.history["loss"][-1] < result.history["loss"][0]
+    assert np.isfinite(result.best_val_loss)
+
+
 def test_fit_device_epochs_learns(encoded_viscosity):
     """fit(device_epochs=True) trains (loss decreases) on CPU."""
     from ionic_mpnn_tpu.training.loop import fit
