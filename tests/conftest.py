@@ -21,6 +21,42 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# Fast-lane auto-marking (round-4 VERDICT item 8): tests measured >= ~9 s
+# on this 2-core box (full-suite --durations run, RESULTS round 4) get the
+# `slow` mark here so the ITERATION lane is
+#
+#     python -m pytest -m "not slow and not multidevice" -q
+#
+# while CI runs the full suite. One list, by test-function base name —
+# update it from a fresh `--durations=40` run when the balance shifts.
+_AUTO_SLOW = {
+    "test_bf16_quality_gate",
+    "test_pallas_step_model_matches_gather",
+    "test_model_predictions_identical_across_impls",
+    "test_fit_resumes_from_checkpoint",
+    "test_fit_without_checkpoint_dir_untouched",
+    "test_balanced_fit_trajectory_matches_python",
+    "test_balanced_batches_match_model_outputs",
+    "test_pallas_fused_model_matches_gather",
+    "test_fit_native_loader_matches_python",
+    "test_fit_native_group_mode_matches_python",
+    "test_phase_fwd_differentiable",
+    "test_phase_fwd_matches_model_loss",
+    "test_device_epoch_step_matches_host_step",
+    "test_gradients_flow",
+    "test_packed_aggregate_matches_brute_force",
+    "test_early_stopping_restores_best",
+    "test_model_equal_across_embed_and_readout_paths",
+    "test_fit_device_epochs_learns",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _AUTO_SLOW:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def synthetic_raw(tmp_path_factory):
