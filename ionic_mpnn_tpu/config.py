@@ -192,6 +192,13 @@ class TrainConfig:
 
     learning_rate: float = 1e-3
     clipnorm: float = 1.0
+    # linear LR warmup steps (0 = reference recipe). The relu fingerprint
+    # path can COLLAPSE under the huge early losses of raw-scale targets
+    # (round-4 bisect: a deterministic seed-0 run killed 31/32 cation fp
+    # units in the first epochs and plateaued at the temperature-only
+    # optimum, dev R² 0.46 vs 0.97 — RESULTS battery 36); a short warmup
+    # removes that failure mode without measurable cost at convergence.
+    warmup_steps: int = 0
     loss: str = "mse"  # "mse" | "huber"
     huber_delta: float = 1.0
     epochs: int = 1000

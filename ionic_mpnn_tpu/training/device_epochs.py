@@ -231,23 +231,48 @@ def make_dp_device_epoch_call(
 def make_device_epoch_call(inner_step, ds: DeviceDataset, batch_size: int,
                            steps_per_call: int):
     """Jitted K-step scan that PACKS each batch on device from a shuffled
-    permutation: ``call(state, perm, g0) -> (state, {"loss_sum", "n"})``.
+    permutation: ``call(state, ds_arrays, perm, g0) -> (state,
+    {"loss_sum", "n"})`` with ``ds_arrays = ds.arrays()``.
 
     ``perm`` is the epoch permutation padded to a multiple of ``B·K`` with
     the out-of-range sentinel ``ds.n`` (those slots get ``sample_mask 0``
     — they clone record 0's molecules, whose loss rows are masked).
     ``g0``/``perm`` are traced, so every group of every epoch reuses ONE
     compiled program.
+
+    The dataset arrays are an ARGUMENT, never closed over: beyond the
+    closure-poison speed rule (CLAUDE.md), the round-4 quality bisect
+    found that on the axon backend a dataset CLOSED OVER by a
+    state-donating jit gets silently corrupted after the first few calls
+    — single-call outputs were bitwise-correct while 400-epoch training
+    plateaued 20× above the reachable loss; threading the pools through
+    the signature (exactly like the screening sweeps and the DP variant)
+    restores convergence (RESULTS round 4, battery 36).
     """
     B, K = batch_size, steps_per_call
 
-    def call(state, perm, g0):
+    def call(state, ds_arrays, perm, g0):
+        local = ds.with_arrays(ds_arrays)
+
         def body(s, k):
             idx = jax.lax.dynamic_slice(perm, (g0 + k * B,), (B,))
-            batch = _device_batch(ds, idx)
-            s2, m = inner_step(s, batch)
+            batch = _device_batch(local, idx)
             nk = jnp.sum(batch.sample_mask)
-            return s2, (m["loss"] * nk, nk)
+
+            # all-sentinel scan slots (epoch tail padding) must be true
+            # no-ops — without the cond they'd still apply an optimizer
+            # update from the L2 penalty + Adam momentum (same guard as
+            # make_scan_train_step; measured to visibly degrade
+            # convergence at small dataset sizes, RESULTS round 4)
+            def run(s_):
+                s2, m = inner_step(s_, batch)
+                return s2, m["loss"] * nk
+
+            def skip(s_):
+                return s_, jnp.float32(0.0)
+
+            s2, weighted = jax.lax.cond(nk > 0, run, skip, s)
+            return s2, (weighted, nk)
 
         state, (losses, nks) = jax.lax.scan(
             body, state, jnp.arange(K, dtype=jnp.int32))

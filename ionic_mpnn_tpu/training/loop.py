@@ -301,7 +301,8 @@ def fit(
 
     if optimizer is None:
         optimizer = make_optimizer(train_cfg.learning_rate, train_cfg.clipnorm,
-                                   train_cfg.weight_decay)
+                                   train_cfg.weight_decay,
+                                   warmup_steps=train_cfg.warmup_steps)
     state = TrainState(
         step=jnp.int32(0),
         params=params,
@@ -449,6 +450,10 @@ def fit(
                                         optimizer, has_bs, jit_compile=False)
                 epoch_call = make_device_epoch_call(inner, ds, plan.batch_size,
                                                     K)
+                # the dataset rides as an ARGUMENT every call — closing
+                # over it corrupts it on the axon backend after a few
+                # donated calls (round-4 quality bisect, battery 36)
+                ds_arrays = ds.arrays()
                 BK = plan.batch_size * K
 
                 def device_epoch(state, epoch, losses, ns):
@@ -459,7 +464,8 @@ def fit(
                     perm_dev = jax.device_put(jnp.asarray(np.concatenate(
                         [perm, np.full(pad, ds.n, np.int32)])))
                     for g0 in range(0, ds.n, BK):
-                        state, m = epoch_call(state, perm_dev, jnp.int32(g0))
+                        state, m = epoch_call(state, ds_arrays, perm_dev,
+                                              jnp.int32(g0))
                         losses.append(m["loss_sum"] / jnp.maximum(m["n"], 1.0))
                         ns.append(min(BK, ds.n - g0))
                     return state

@@ -47,7 +47,24 @@ def make_optimizer(
     clipnorm: Optional[float] = 1.0,
     weight_decay: float = 0.0,
     clip_mode: str = "per_variable",  # "per_variable" (Keras clipnorm) | "global"
+    warmup_steps: int = 0,
 ) -> optax.GradientTransformation:
+    """Adam(+clip) with optional LINEAR LR WARMUP over ``warmup_steps``.
+
+    Warmup is a deliberate deviation from the reference recipe (constant
+    Adam 1e-3): the dual-encoder's relu fingerprint path is collapse-
+    prone under the huge early losses of the raw-scale viscosity target
+    — the round-4 quality bisect caught a deterministic seed-0 run where
+    31/32 cation fp units died in the first epochs and training plateaued
+    at the temperature-only optimum (dev R² 0.46 vs 0.97; RESULTS
+    battery 36). Parity runs keep ``warmup_steps=0``.
+    """
+    lr = learning_rate
+    if warmup_steps > 0:
+        lr = optax.linear_schedule(
+            init_value=learning_rate / 25.0, end_value=learning_rate,
+            transition_steps=warmup_steps,
+        )
     parts = []
     if clipnorm is not None and clipnorm > 0:
         if clip_mode == "global":
@@ -55,9 +72,9 @@ def make_optimizer(
         else:
             parts.append(clip_by_per_variable_norm(clipnorm))
     if weight_decay > 0:
-        parts.append(optax.adamw(learning_rate, weight_decay=weight_decay))
+        parts.append(optax.adamw(lr, weight_decay=weight_decay))
     else:
-        parts.append(optax.adam(learning_rate))
+        parts.append(optax.adam(lr))
     return optax.chain(*parts)
 
 

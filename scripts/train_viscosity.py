@@ -46,6 +46,21 @@ def main() -> int:
                     help="onehot node window (0 = auto: 64 for bf16, 128 else)")
     ap.add_argument("--balance", action="store_true",
                     help="LPT window balancing (opt-in: measured net loss on the\n                    axon backend, RESULTS battery 27)")
+    ap.add_argument("--device-epochs", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="device-resident epochs (A/B isolation flag)")
+    ap.add_argument("--normalize-y", action="store_true",
+                    help="z-score log_eta on train stats (de-normalized at "
+                         "eval, normalizer persisted — the MP task's "
+                         "standard treatment). Tames the raw-scale early "
+                         "losses implicated in the battery-36 relu collapse")
+    ap.add_argument("--warmup", type=int, default=200,
+                    help="linear LR warmup steps (0 = exact reference "
+                         "recipe). Default 200: guards the collapse-prone "
+                         "relu fingerprint path against the huge early "
+                         "losses of the raw-scale target (RESULTS battery "
+                         "36: a seed-0 run deterministically killed 31/32 "
+                         "fp units and plateaued at the T-only optimum)")
     args = ap.parse_args()
 
     from ionic_mpnn_tpu.config import (
@@ -88,6 +103,10 @@ def main() -> int:
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         early_stopping_patience=args.patience, seed=args.seed,
         steps_per_call=args.steps_per_call,
+        device_epochs={"auto": "auto", "on": True, "off": False}[
+            args.device_epochs],
+        warmup_steps=0 if args.parity_mode else args.warmup,
+        normalize_y=args.normalize_y and not args.parity_mode,
     )
     # capacities from ALL records so dev/test molecules can't overflow at eval
     plan = plan_capacities(records, batch_size=tcfg.batch_size,

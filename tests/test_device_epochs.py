@@ -64,7 +64,7 @@ def test_device_epoch_step_matches_host_step(encoded_viscosity):
     inner = make_train_step(model, cfg, tcfg, opt, jit_compile=False)
     call = make_device_epoch_call(inner, ds, batch_size=8, steps_per_call=1)
     perm = jnp.asarray(np.arange(8, dtype=np.int32))
-    dev_state, dev_m = call(fresh_state(), perm, jnp.int32(0))
+    dev_state, dev_m = call(fresh_state(), ds.arrays(), perm, jnp.int32(0))
 
     host_batch = next(iter_batches(records, plan, shuffle=False))
     host_step = make_train_step(model, cfg, tcfg, opt)
@@ -95,9 +95,43 @@ def test_device_epoch_padded_tail_masked(encoded_viscosity):
     state = TrainState(
         step=jnp.int32(0), params=params["params"], batch_stats={},
         opt_state=opt.init(params["params"]), rng=jax.random.PRNGKey(7))
-    _, m = call(state, perm, jnp.int32(0))
+    _, m = call(state, ds.arrays(), perm, jnp.int32(0))
     assert float(m["n"]) == 5.0
     assert np.isfinite(float(m["loss_sum"]))
+
+
+def test_all_sentinel_batch_is_noop(encoded_viscosity):
+    """An all-sentinel scan slot must not touch the state: without the
+    lax.cond guard it still applies an Adam step from the L2-penalty
+    gradient (Adam normalizes even a tiny gradient to an lr-sized step),
+    which measurably degraded convergence — the round-4 quality-
+    regression root cause (RESULTS round 4)."""
+    from ionic_mpnn_tpu.training.loop import TrainState
+
+    records, cfg, model, plan, params = _setup(encoded_viscosity, n=8, batch=8)
+    tcfg = TrainConfig(batch_size=8, steps_per_call=2, seed=3)
+    opt = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+    ds = build_device_dataset(records, plan.window, plan.target_key)
+    inner = make_train_step(model, cfg, tcfg, opt, jit_compile=False)
+
+    def fresh():
+        return TrainState(
+            step=jnp.int32(0), params=jax.tree.map(jnp.array, params["params"]),
+            batch_stats={}, opt_state=opt.init(params["params"]),
+            rng=jax.random.PRNGKey(7))
+
+    # K=2 with the second batch ALL sentinel vs K=1 over the real 8
+    call2 = make_device_epoch_call(inner, ds, batch_size=8, steps_per_call=2)
+    perm2 = jnp.asarray(np.concatenate(
+        [np.arange(8), np.full(8, ds.n)]).astype(np.int32))
+    s2, m2 = call2(fresh(), ds.arrays(), perm2, jnp.int32(0))
+
+    call1 = make_device_epoch_call(inner, ds, batch_size=8, steps_per_call=1)
+    s1, m1 = call1(fresh(), ds.arrays(),
+                   jnp.asarray(np.arange(8, dtype=np.int32)), jnp.int32(0))
+    assert float(m2["n"]) == float(m1["n"]) == 8.0
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.multidevice
