@@ -41,6 +41,11 @@ def main() -> int:
                     help="auto = bfloat16 on accelerators, float32 on CPU")
     ap.add_argument("--window", type=int, default=0,
                     help="onehot node window (0 = auto: 64 for bf16, 128 else)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear LR warmup steps (0 = reference recipe; MP "
+                         "z-scores its target so the battery-36 raw-scale "
+                         "collapse risk is already tamed — flag provided "
+                         "for parity with train_viscosity)")
     ap.add_argument("--balance", action="store_true",
                     help="LPT window balancing (opt-in: measured net loss on the\n                    axon backend, RESULTS battery 27)")
     args = ap.parse_args()
@@ -80,6 +85,7 @@ def main() -> int:
         early_stopping_patience=args.patience, seed=args.seed,
         steps_per_call=args.steps_per_call,
         normalize_y=True, normalize_guard="or1",
+        warmup_steps=0 if args.parity_mode else args.warmup,
     )
     plan = plan_capacities(records, batch_size=tcfg.batch_size,
                            with_temperature=False, target_key="mp",

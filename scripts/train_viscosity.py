@@ -54,13 +54,16 @@ def main() -> int:
                          "eval, normalizer persisted — the MP task's "
                          "standard treatment). Tames the raw-scale early "
                          "losses implicated in the battery-36 relu collapse")
-    ap.add_argument("--warmup", type=int, default=200,
+    ap.add_argument("--warmup", type=int, default=1000,
                     help="linear LR warmup steps (0 = exact reference "
-                         "recipe). Default 200: guards the collapse-prone "
-                         "relu fingerprint path against the huge early "
-                         "losses of the raw-scale target (RESULTS battery "
-                         "36: a seed-0 run deterministically killed 31/32 "
-                         "fp units and plateaued at the T-only optimum)")
+                         "recipe). Default 1000 (~5 epochs at the 7.7k-"
+                         "record scale): guards the collapse-prone relu "
+                         "fingerprint path against the huge early losses "
+                         "of the raw-scale target — battery 36: a seed-0 "
+                         "run deterministically killed 31/32 fp units and "
+                         "plateaued at the T-only optimum (R² 0.42); 200 "
+                         "steps was too short (ramp ends inside epoch 1), "
+                         "1000 restores Test R² 0.9735")
     args = ap.parse_args()
 
     from ionic_mpnn_tpu.config import (
