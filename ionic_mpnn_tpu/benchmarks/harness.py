@@ -100,6 +100,7 @@ def bench_packed_train_step(
     tight_tile: bool = False,  # re-plan edge_tile at the batches' true max
     tile_override: int = 0,  # force edge_tile (>= plan's is always safe)
     balanced: bool = False,  # LPT window balancing (window_aligned only)
+    remat: bool = False,  # jax.checkpoint the message op (A/B knob)
 ) -> BenchResult:
     from ..data.packing import ONEHOT_WINDOW
 
@@ -108,7 +109,7 @@ def bench_packed_train_step(
         num_steps=num_steps, compute_dtype=compute_dtype,
         message_impl=message_impl, gru_impl=gru_impl,
         scatter_impl=scatter_impl, onehot_select=onehot_select,
-        onehot_window=window,
+        onehot_window=window, remat_message=remat,
     )
     if model_kind == "mp":
         cfg = melting_point_config(vocab.atom_vocab_size, vocab.bond_vocab_size, **kw)

@@ -114,6 +114,11 @@ class ModelConfig:
     # and remote-TPU compiles cost minutes, so large vocabs take the
     # V-independent formulation.
     onehot_select: str = "auto"
+    # Rematerialize the message+aggregate op in the backward
+    # (jax.checkpoint): the onehot formulation's saved intermediates (the
+    # (E, V·D)/(E, D) products per step) are HBM traffic the backward
+    # re-reads; recompute is cheap MXU work. A/B knob (RESULTS round 4).
+    remat_message: bool = False
     gru_impl: str = "reference"  # "fused" packs z|r|candidate into wider matmuls
     scatter_impl: str = "xla"  # "xla" | "pallas" (sorted-scatter TPU kernel)
     # Atom-embedding lookup: "gather" (jnp.take) | "onehot" ((N, V) one-hot

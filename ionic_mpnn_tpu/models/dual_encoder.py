@@ -110,6 +110,7 @@ class IonEncoder(nn.Module):
                 # no 3-window src halo
                 halo=graphs.edge_layout != "window_aligned",
                 select=cfg.onehot_select,
+                remat=cfg.remat_message,
                 ep_axis=cfg.ep_axis,
                 name=f"bmm_{step}",
             )(h, bond_table, graphs.bond_ids, graphs.src, graphs.dst, edge_mask)

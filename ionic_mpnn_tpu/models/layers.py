@@ -70,6 +70,7 @@ class BondMatrixMessage(nn.Module):
     # straddles a window → src context is the window itself, 3x smaller)
     halo: bool = True
     select: str = "lanes"  # onehot typed-select formulation (see config)
+    remat: bool = False  # jax.checkpoint the message+aggregate op
     # Edge-partitioned execution inside shard_map. The contract follows the
     # impl's natural partition (parallel/{edge_partition,aligned_partition}):
     #   * gather-family impls: EDGE arrays sharded over this axis, node
@@ -127,10 +128,20 @@ class BondMatrixMessage(nn.Module):
                     "(edge_layout='window_aligned'); got a halo batch — "
                     "see parallel/aligned_partition.py"
                 )
-            agg = message_pass_aggregate_onehot(
-                h, bond_ids, src, dst, m_table, edge_mask,
-                window=self.window, halo=self.halo, select=self.select,
-            )
+            op = message_pass_aggregate_onehot
+            if self.remat:
+                import functools
+
+                op = jax.checkpoint(functools.partial(
+                    message_pass_aggregate_onehot,
+                    window=self.window, halo=self.halo, select=self.select,
+                ))
+                agg = op(h, bond_ids, src, dst, m_table, edge_mask)
+            else:
+                agg = op(
+                    h, bond_ids, src, dst, m_table, edge_mask,
+                    window=self.window, halo=self.halo, select=self.select,
+                )
         elif self.impl == "typed":
             agg = message_pass_aggregate_typed(h, bond_ids, src, dst, m_table, edge_mask)
         elif self.impl == "symmetric":

@@ -156,8 +156,11 @@ def main():
         tight_tile = False
         tile_override = 0
         balanced = False
+        remat = False
         for opt in parts[1:]:
-            if opt == "vloop":
+            if opt == "remat":
+                remat = True
+            elif opt == "vloop":
                 onehot_select = "vloop"
             elif opt == "fusedgru":
                 gru = "fused"
@@ -186,7 +189,7 @@ def main():
                                     onehot_select=onehot_select, window=window,
                                     unroll=unroll, tight_tile=tight_tile,
                                     tile_override=tile_override,
-                                    balanced=balanced)
+                                    balanced=balanced, remat=remat)
         print(json.dumps({
             "which": which, "bs": bs,
             "us_per_step": 1e6 / r.steps_per_s,

@@ -43,7 +43,10 @@ import jax.numpy as jnp
 import numpy as np
 
 ALL = ("scanmin", "scanfixed", "embed", "msg1", "msg4", "gru4", "enc",
-       "fwd", "fwdbwd", "full")
+       "fwd", "fwdbwd", "full",
+       # value_and_grad of a PHASE-stubbed forward: consecutive deltas
+       # attribute the BACKWARD per phase (round-4 follow-up)
+       "bwd-embed", "bwd-msg4", "bwd-gru4", "bwd-enc")
 INNER = 8
 
 
@@ -132,9 +135,10 @@ def main():
                 return p, ss[-1]
 
             dt = fetch_time(jax.jit(multi), params, batches)
-        elif which == "fwdbwd":
+        elif which == "fwdbwd" or which.startswith("bwd-"):
+            upto = "fwd" if which == "fwdbwd" else which[4:]
             grad_fn = jax.value_and_grad(
-                lambda p, b: phase_forward(p, cfg, b, "fwd")
+                lambda p, b, _u=upto: phase_forward(p, cfg, b, _u)
             )
 
             def multi(p, xs):

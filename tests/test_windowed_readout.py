@@ -80,6 +80,30 @@ def test_device_pool_slots_matches_host():
         np.testing.assert_array_equal(got[real], want[real])
 
 
+def test_remat_message_grads_identical():
+    """remat_message (jax.checkpoint on the message op) must not change
+    values or gradients — only the backward's memory/recompute trade."""
+    records, vocab, batch = _aligned_batch()
+    batch = jax.tree.map(jnp.asarray, batch)
+    base = viscosity_config(
+        vocab.atom_vocab_size, vocab.bond_vocab_size,
+        message_impl="onehot", onehot_window=WINDOW, num_steps=2,
+    )
+    m0 = ViscosityModel(base)
+    m1 = ViscosityModel(base.replace(remat_message=True))
+    variables = m0.init(jax.random.PRNGKey(0), batch)
+
+    def loss(params, model):
+        out = model.apply({"params": params}, batch)["pred"]
+        return jnp.mean((out - batch.y) ** 2)
+
+    g0 = jax.grad(loss)(variables["params"], m0)
+    g1 = jax.grad(loss)(variables["params"], m1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_model_equal_across_embed_and_readout_paths():
     """Full model: onehot-embed + windowed readout == gather + segment-sum
     (predictions AND gradients)."""
