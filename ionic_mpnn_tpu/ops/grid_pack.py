@@ -325,6 +325,13 @@ def pack_side_on_device(
     )
 
 
+# one-hot row-pick cap for pack_side_padded: above this pool size the
+# (B, M) one-hot operand outgrows its win over the per-row gather
+# (B=4096, M=4096 f32 → 67 MB operand, ~11 GFLOP — still fine; beyond,
+# fall back). Unique-ION pools are typically 10s-1000s of rows.
+ONEHOT_GATHER_MAX_ROWS = 4096
+
+
 def device_pool_slots(
     node_graph: jnp.ndarray, window: int, n_graphs: int
 ) -> jnp.ndarray:
@@ -377,7 +384,19 @@ def pack_side_padded(
     pitch, em = pool.pitch, pool.em
     sel = sel.astype(jnp.int32)
 
-    fused = pool.fused_p[sel]  # (B, pitch+3·em+2) — THE one row gather
+    M = int(pool.fused_p.shape[0])
+    if M <= ONEHOT_GATHER_MAX_ROWS:
+        # the row gather as a (B, M) one-hot f32 matmul: per-ROW gather
+        # cost is this backend's weak op (battery 30), while small-pool
+        # matmuls are ~free. Every fused-plane value (vocab ids, local
+        # edge indices < pitch, lengths <= em) is far below 2^24, so the
+        # f32 one-hot pick is EXACT; bf16 would not be (8-bit mantissa).
+        oh = (sel[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :])
+        fused = jnp.dot(oh.astype(jnp.float32),
+                        pool.fused_p.astype(jnp.float32),
+                        preferred_element_type=jnp.float32).astype(jnp.int32)
+    else:
+        fused = pool.fused_p[sel]  # (B, pitch+3·em+2) — ONE row gather
     atoms = fused[:, :pitch]  # (B, pitch)
     bonds = fused[:, pitch:pitch + em]  # (B, em)
     e = fused[:, pitch + em:pitch + 3 * em].reshape(B, em, 2)
@@ -641,7 +660,18 @@ def grid_batch_on_device(
     anion = one_side(an_pool, ai, an_node_cap, an_edge_cap, an_tile, an_pitch)
     temperature = jnp.zeros((B, 1), jnp.float32)
     if with_temperature:
-        temperature = jnp.where(in_range[:, None], temps[ti][:, None], 0.0)
+        Tn = int(temps.shape[0])
+        if Tn <= ONEHOT_GATHER_MAX_ROWS:
+            # B-row scalar gather → (B, Tn) one-hot matvec (exact: one
+            # nonzero per row) — same per-row-cost avoidance as the pool
+            # row pick
+            oh_t = (ti[:, None] == jnp.arange(Tn, dtype=jnp.int32))
+            tvals = jnp.dot(oh_t.astype(jnp.float32),
+                            temps.astype(jnp.float32)[:, None],
+                            preferred_element_type=jnp.float32)
+        else:
+            tvals = temps[ti][:, None]
+        temperature = jnp.where(in_range[:, None], tvals, 0.0)
     return IonPairBatch(
         cation=cation,
         anion=anion,
