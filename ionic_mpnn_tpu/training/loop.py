@@ -606,12 +606,15 @@ def fit(
             w = np.asarray(ns)
             train_loss = float(np.average(np.asarray(jax.device_get(losses)), weights=w))
 
-            val_sum, val_n, reg = 0.0, 0.0, 0.0
-            for batch in dev_batches:
-                out = jax.device_get(eval_step(state.params, state.batch_stats, batch))
-                val_sum += float(out["loss_sum"])
-                val_n += float(out["n"])
-                reg = float(out["reg"])
+            # dispatch every dev batch, then fetch ONCE: a device_get per
+            # batch costs one tunnel round trip each (~ms-scale on the
+            # remote relay backend)
+            outs = [eval_step(state.params, state.batch_stats, batch)
+                    for batch in dev_batches]
+            outs = jax.device_get(outs)
+            val_sum = sum(float(o["loss_sum"]) for o in outs)
+            val_n = sum(float(o["n"]) for o in outs)
+            reg = float(outs[-1]["reg"]) if outs else 0.0
             val_loss = val_sum / max(val_n, 1.0) + reg
 
             history["loss"].append(train_loss)
