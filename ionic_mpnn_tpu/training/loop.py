@@ -604,7 +604,14 @@ def fit(
                 if group:
                     _run_group(group)
             w = np.asarray(ns)
-            train_loss = float(np.average(np.asarray(jax.device_get(losses)), weights=w))
+            # stack per-group device scalars into ONE array before the
+            # fetch: device_get of a list costs one tunnel round trip per
+            # element on the remote relay backend (~24/epoch at 100k×2048)
+            if losses and isinstance(losses[0], jax.Array):
+                losses_h = np.asarray(jax.device_get(jnp.stack(losses)))
+            else:
+                losses_h = np.asarray(jax.device_get(losses))
+            train_loss = float(np.average(losses_h, weights=w))
 
             # dispatch every dev batch, then fetch ONCE: a device_get per
             # batch costs one tunnel round trip each (~ms-scale on the
