@@ -339,14 +339,19 @@ def device_pool_slots(
     device packs (no molecule straddles a window, node_graph
     non-decreasing with forward-filled pads): graph ``g`` lives in the
     first window whose last id ≥ g (binary search — no scatter), and its
-    windowed-readout row is ``w·W + (g − node_graph[w·W])``."""
+    windowed-readout row is ``w·W + (g − node_graph[w·W])``. Graph slots
+    beyond the last real graph id get the ``-1`` sentinel (same contract
+    as the host ``compute_pool_slots``), so ``graph_sum_pool_windowed``'s
+    ``pool_slot >= 0`` mask zeroes empty trailing slots instead of
+    aliasing a real graph's pooled row."""
     N = int(node_graph.shape[0])
     nw = N // window
     ngw = node_graph.reshape(nw, window)
     g = jnp.arange(n_graphs, dtype=node_graph.dtype)
     w = jnp.clip(jnp.searchsorted(ngw[:, -1], g, side="left"), 0, nw - 1)
     local = jnp.clip(g - ngw[w, 0], 0, window - 1)
-    return (w * window + local).astype(jnp.int32)
+    slot = (w * window + local).astype(jnp.int32)
+    return jnp.where(g > ngw[-1, -1], jnp.int32(-1), slot)
 
 
 def pack_side_padded(

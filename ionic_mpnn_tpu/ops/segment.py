@@ -88,6 +88,14 @@ def graph_sum_pool_windowed(
     N-row gather of the segment-sum backward). Pad/gap rows are masked
     out of ``o``; empty graph slots carry ``pool_slot == −1`` and read 0.
 
+    PRECISION NOTE: the pooled sums are INTENTIONALLY returned in f32
+    (``preferred_element_type`` accumulation, never cast back) even when
+    ``node_states`` is bf16 — the readout feeds the fingerprint Dense,
+    where the upgraded accumulation is free accuracy. The
+    :func:`graph_sum_pool` fallback (non-aligned batches) accumulates in
+    the input dtype and is therefore the LOWER-precision path of the two
+    in bf16 configs.
+
     Reference math covered: ``models/layers.py:159-164`` (GlobalSumPool).
     """
     N, D = node_states.shape

@@ -76,8 +76,24 @@ def test_device_pool_slots_matches_host():
         want = compute_pool_slots(g.node_graph, g.node_mask, WINDOW, g.n_graphs)
         got = np.asarray(device_pool_slots(jnp.asarray(g.node_graph), WINDOW,
                                            g.n_graphs))
-        real = want >= 0
-        np.testing.assert_array_equal(got[real], want[real])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_device_pool_slots_sentinel_for_empty_slots():
+    """Empty trailing graph slots must return -1 (the host contract), not
+    alias a real graph's pooled row (ADVICE round 4)."""
+    from ionic_mpnn_tpu.ops.grid_pack import device_pool_slots
+
+    records, _, _ = _aligned_batch()
+    plan = plan_capacities(records, batch_size=32,
+                           edge_layout="window_aligned", window=WINDOW)
+    batch = next(iter_batches(records[:5], plan))
+    for g in (batch.cation, batch.anion):
+        want = compute_pool_slots(g.node_graph, g.node_mask, WINDOW, g.n_graphs)
+        got = np.asarray(device_pool_slots(jnp.asarray(g.node_graph), WINDOW,
+                                           g.n_graphs))
+        assert (want[5:] == -1).all()
+        np.testing.assert_array_equal(got, want)
 
 
 def test_remat_message_grads_identical():
