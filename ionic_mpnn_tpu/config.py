@@ -228,6 +228,21 @@ class TrainConfig:
     # elsewhere. Batches are fixed-pitch packed, so loss trajectories are
     # statistically equivalent but not bit-identical to the host loader's.
     device_epochs: Any = "auto"  # "auto" | True | False
+    # Pitch-slot PAIRING for device-resident epochs (round 5): each pitch
+    # region holds two records (a large molecule ascending + a small one
+    # reversed at the region end) when their atom counts fit — halving the
+    # cation node plane that made the single-occupancy device-epoch step
+    # 3x the bench step (battery 40: fixed-pitch placement inflated nw to
+    # 2048 windows vs ~1246 greedy; the nw efficiency cliff priced that at
+    # ~7 ms/step). The host ships paired slot indices instead of a plain
+    # permutation (training/device_epochs.build_paired_perm); region sizes
+    # auto-chosen per side from dataset stats (choose_paired_plan, falls
+    # back to single-occupancy when pairing can't win). "auto" = on
+    # whenever device epochs run. Batch composition is pairing-sorted
+    # within each chunk of the shuffled order — statistically equivalent,
+    # not bit-identical, to the unpaired device path (same caveat class
+    # as device_epochs itself).
+    paired_epochs: Any = "auto"  # "auto" | True | False
     normalize_y: bool = False  # z-score on train stats (MP task)
     normalize_guard: str = "or1"  # "or1" (train_melting_point.py:256) | "eps" (transfer :174-181)
     weight_decay: float = 0.0

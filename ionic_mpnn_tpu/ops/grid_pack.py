@@ -48,7 +48,9 @@ __all__ = [
     "device_pool",
     "pack_side_on_device",
     "pack_side_padded",
+    "pack_side_paired",
     "padded_aligned_tile",
+    "paired_tile",
     "grid_batch_on_device",
     "window_tile_on_device",
     "pool_window_tile_bound",
@@ -332,6 +334,30 @@ def pack_side_on_device(
 ONEHOT_GATHER_MAX_ROWS = 4096
 
 
+def _fused_rows(pool: DevicePool, sel: jnp.ndarray):
+    """Row-pick of the fused padded plane: ``(fused, valid)`` for ``sel``
+    (B,) int32 ion indices, where ``sel < 0`` is the empty-slot sentinel
+    (row 0 is gathered but ``valid`` is False — callers zero the lengths).
+
+    Small pools take the (B, M) one-hot f32 matmul pick: per-ROW gather
+    cost is this backend's weak op (battery 30), while small-pool matmuls
+    are ~free. Every fused-plane value (vocab ids, local edge indices
+    < pitch, lengths <= em) is far below 2^24, so the f32 one-hot pick is
+    EXACT; bf16 would not be (8-bit mantissa).
+    """
+    valid = sel >= 0
+    safe = jnp.where(valid, sel, 0).astype(jnp.int32)
+    M = int(pool.fused_p.shape[0])
+    if M <= ONEHOT_GATHER_MAX_ROWS:
+        oh = (safe[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :])
+        fused = jnp.dot(oh.astype(jnp.float32),
+                        pool.fused_p.astype(jnp.float32),
+                        preferred_element_type=jnp.float32).astype(jnp.int32)
+    else:
+        fused = pool.fused_p[safe]  # (B, pitch+3·em+2) — ONE row gather
+    return fused, valid
+
+
 def device_pool_slots(
     node_graph: jnp.ndarray, window: int, n_graphs: int
 ) -> jnp.ndarray:
@@ -387,21 +413,7 @@ def pack_side_padded(
         raise ValueError(f"pitch {pool.pitch} must divide window {window}")
     B = int(sel.shape[0])
     pitch, em = pool.pitch, pool.em
-    sel = sel.astype(jnp.int32)
-
-    M = int(pool.fused_p.shape[0])
-    if M <= ONEHOT_GATHER_MAX_ROWS:
-        # the row gather as a (B, M) one-hot f32 matmul: per-ROW gather
-        # cost is this backend's weak op (battery 30), while small-pool
-        # matmuls are ~free. Every fused-plane value (vocab ids, local
-        # edge indices < pitch, lengths <= em) is far below 2^24, so the
-        # f32 one-hot pick is EXACT; bf16 would not be (8-bit mantissa).
-        oh = (sel[:, None] == jnp.arange(M, dtype=jnp.int32)[None, :])
-        fused = jnp.dot(oh.astype(jnp.float32),
-                        pool.fused_p.astype(jnp.float32),
-                        preferred_element_type=jnp.float32).astype(jnp.int32)
-    else:
-        fused = pool.fused_p[sel]  # (B, pitch+3·em+2) — ONE row gather
+    fused, _ = _fused_rows(pool, sel)
     atoms = fused[:, :pitch]  # (B, pitch)
     bonds = fused[:, pitch:pitch + em]  # (B, em)
     e = fused[:, pitch + em:pitch + 3 * em].reshape(B, em, 2)
@@ -446,6 +458,152 @@ def pack_side_padded(
 def padded_aligned_tile(window: int, pitch: int, em: int) -> int:
     """The implicit per-window edge tile of :func:`pack_side_padded`."""
     return (window // pitch) * em
+
+
+def paired_tile(window: int, region: int, em: int) -> int:
+    """The implicit per-window edge tile of :func:`pack_side_paired`."""
+    return (window // region) * 2 * em
+
+
+def pack_side_paired(
+    pool: DevicePool,
+    sel_a: jnp.ndarray,  # (R,) int32 ion indices; -1 = empty slot
+    sel_b: jnp.ndarray,  # (R,) int32 ion indices; -1 = empty slot
+    window: int,
+    region: int,
+) -> PackedGraphs:
+    """PITCH-SLOT PAIRED pack: each ``region``-node slot holds TWO
+    molecules — slot ``r``'s A molecule ascending from the region start,
+    its B molecule REVERSED and right-aligned at the region end — so the
+    node plane is ``R·region`` rows for ``2R`` graphs. This is the
+    battery-40 fix for the device-epoch step: fixed-pitch single-occupancy
+    placement inflated the cation node plane to B·pitch rows (nw = 2048
+    windows at batch 2048) and the nw efficiency cliff (AXON findings 4d)
+    priced that at ~3× the greedy-packed bench step; pairing a large
+    molecule with a small one (``la + lb ≤ region``, the host perm
+    builder's contract) halves the plane — DENSER than the host greedy
+    packer for typical mixes (synthetic IL stats: mean cation 28.7 atoms,
+    max 47 → pitch 64; fold-pairing fits 100%% of records, 1024 windows
+    at 2048 records vs greedy's ~1246).
+
+    Why reversal instead of shifting B to offset ``la``: a per-region
+    dynamic shift is an element-gather (the ~µs/row op class battery 30
+    measured) or a (R, region, region) one-hot matmul; REVERSING B makes
+    its placement data-independent — ``flip`` of the pool's padded row is
+    exactly "right-aligned reversed", and graph message passing is
+    invariant to within-molecule node order as long as edge endpoints use
+    the same indexing (``u → region-1-u``, pure arithmetic on the gathered
+    edge values). ``node_local`` stores the ORIGINAL local index
+    (``region-1-j``), so the reference parity quirk (atom-0 masking,
+    reference models/layers.py:74) still identifies atom 0.
+
+    Layout contract (the aligned onehot message path's requirements):
+
+    * ``region % pool.pitch == 0`` is NOT needed — only
+      ``pool.pitch ≤ region ≤ window`` and ``window % region == 0``
+      (regions never straddle windows). ``R`` must be a multiple of
+      ``window // region`` so the node plane is whole windows.
+    * A occupies node rows ``[r·region, r·region + la)``; B occupies
+      ``[r·region + region − lb, (r+1)·region)``. The HOST pairing must
+      guarantee ``la + lb ≤ region``; the device cannot check under jit
+      (overlap would silently corrupt both molecules). Single-record
+      regions must ride in slot A (``sel_b = -1``): the closed-form
+      windowed-readout addressing below needs every window's FIRST node
+      row to carry the window's first graph id, which holds whenever
+      ``lb < region``.
+    * Graph ids: ``2r`` for A, ``2r + 1`` for B (gap rows forward-fill
+      with ``2r`` — ids stay non-decreasing). Edge slots: A at
+      ``[2r·em, (2r+1)·em)``, B at ``[(2r+1)·em, (2r+2)·em)`` — window
+      ``w`` holds ``window//region`` regions, so its edges tile at
+      ``paired_tile(window, region, em)`` slots, order-free within the
+      tile (the onehot op's gather/aggregate are one-hot matmul sums).
+    * ``pool_slot[2r+p] = (r // gpw)·window + (r %% gpw)·2 + p`` with
+      ``gpw = window // region`` — matches ``graph_sum_pool_windowed``'s
+      ``w·W + (g − node_graph[w·W])`` addressing; ``-1`` for empty slots.
+
+    Reference scope: layout optimization with no reference counterpart
+    (the reference pads every molecule to the batch max —
+    train_viscosity.py:255-262); semantics match ``pack_graphs`` on the
+    interleaved record list [A_0, B_0, A_1, B_1, ...] minus placement.
+    """
+    if pool.pitch <= 0 or pool.fused_p is None:
+        raise ValueError("pack_side_paired needs a pool built with "
+                         "device_pool(pitch=...)")
+    pitch, em = pool.pitch, pool.em
+    if region < pitch:
+        raise ValueError(f"region {region} < pool pitch {pitch}")
+    if window % region != 0:
+        raise ValueError(f"region {region} must divide window {window}")
+    R = int(sel_a.shape[0])
+    gpw = window // region
+    if R % gpw != 0:
+        raise ValueError(f"R={R} must be a multiple of window//region={gpw}")
+    S = region
+    pad = S - pitch
+
+    fused_a, valid_a = _fused_rows(pool, sel_a)
+    fused_b, valid_b = _fused_rows(pool, sel_b)
+    la = jnp.where(valid_a, fused_a[:, -2], 0)  # (R,)
+    lb = jnp.where(valid_b, fused_b[:, -2], 0)
+    ea_len = jnp.where(valid_a, fused_a[:, -1], 0)
+    eb_len = jnp.where(valid_b, fused_b[:, -1], 0)
+
+    # ---- nodes: A ascending at the region start, B reversed at the end
+    jj = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
+    a_plane = jnp.pad(fused_a[:, :pitch], ((0, 0), (0, pad)))
+    b_plane = jnp.pad(jnp.flip(fused_b[:, :pitch], axis=1),
+                      ((0, 0), (pad, 0)))
+    mask_a = jj < la[:, None]  # (R, S)
+    mask_b = jj >= (S - lb)[:, None]
+    # disjoint by the host contract la + lb <= S
+    atom_ids = (jnp.where(mask_a, a_plane + 1, 0)
+                + jnp.where(mask_b, b_plane + 1, 0))
+    slot2 = 2 * jnp.arange(R, dtype=jnp.int32)[:, None]  # (R, 1)
+    node_graph = slot2 + mask_b.astype(jnp.int32)
+    node_local = (jnp.where(mask_a, jj, 0)
+                  + jnp.where(mask_b, (S - 1) - jj, 0))
+    node_mask = mask_a | mask_b
+
+    # ---- edges: A forward, B with endpoints reflected (u -> S-1-u)
+    tt = jnp.arange(em, dtype=jnp.int32)[None, :]  # (1, em)
+    base = (jnp.arange(R, dtype=jnp.int32) * S)[:, None]  # (R, 1)
+    e_a = fused_a[:, pitch + em:pitch + 3 * em].reshape(R, em, 2)
+    e_b = fused_b[:, pitch + em:pitch + 3 * em].reshape(R, em, 2)
+    emask_a = tt < ea_len[:, None]
+    emask_b = tt < eb_len[:, None]
+    src_a = jnp.where(emask_a, e_a[..., 0] + base, base)
+    dst_a = jnp.where(emask_a, e_a[..., 1] + base, base)
+    src_b = jnp.where(emask_b, (S - 1) - e_b[..., 0] + base, base)
+    dst_b = jnp.where(emask_b, (S - 1) - e_b[..., 1] + base, base)
+    bonds_a = jnp.where(emask_a, fused_a[:, pitch:pitch + em] + 1, 0)
+    bonds_b = jnp.where(emask_b, fused_b[:, pitch:pitch + em] + 1, 0)
+    # region r's edge slots: [A's em | B's em] — (R, 2, em) row-major
+    src = jnp.stack([src_a, src_b], axis=1).reshape(-1).astype(jnp.int32)
+    dst = jnp.stack([dst_a, dst_b], axis=1).reshape(-1).astype(jnp.int32)
+    bond_ids = jnp.stack([bonds_a, bonds_b], axis=1).reshape(-1).astype(jnp.int32)
+    edge_mask = jnp.stack([emask_a, emask_b], axis=1).reshape(-1)
+
+    # ---- windowed-readout addressing (closed form; -1 = empty slot)
+    r = jnp.arange(R, dtype=jnp.int32)
+    row0 = (r // gpw) * window + (r % gpw) * 2
+    slot_a = jnp.where(valid_a, row0, -1)
+    slot_b = jnp.where(valid_b, row0 + 1, -1)
+    pool_slot = jnp.stack([slot_a, slot_b], axis=1).reshape(-1).astype(jnp.int32)
+
+    return PackedGraphs(
+        atom_ids=atom_ids.reshape(-1).astype(jnp.int32),
+        bond_ids=bond_ids,
+        src=src,
+        dst=dst,
+        node_graph=node_graph.reshape(-1).astype(jnp.int32),
+        node_local=node_local.reshape(-1).astype(jnp.int32),
+        node_mask=node_mask.reshape(-1),
+        edge_mask=edge_mask,
+        n_graphs=2 * R,
+        edge_layout="window_aligned",
+        node_sorted=True,
+        pool_slot=pool_slot,
+    )
 
 
 def window_tile_on_device(

@@ -26,17 +26,24 @@ and every molecule ≤ the onehot window.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..data.packing import IonPairBatch
-from ..ops.grid_pack import DevicePool, device_pool, pack_side_padded, pool_pitch
+from ..ops.grid_pack import (
+    DevicePool,
+    device_pool,
+    pack_side_padded,
+    pack_side_paired,
+    pool_pitch,
+)
 
 __all__ = ["DeviceDataset", "build_device_dataset", "make_device_epoch_call",
-           "make_dp_device_epoch_call"]
+           "make_dp_device_epoch_call", "PairedPlan", "choose_paired_plan",
+           "build_paired_perm", "make_paired_epoch_call"]
 
 
 class _GraphPool:
@@ -66,7 +73,8 @@ class DeviceDataset:
 
     def __init__(self, cat_pool: DevicePool, an_pool: DevicePool,
                  cat_idx, an_idx, temperature, y, n: int, window: int,
-                 with_temperature: bool):
+                 with_temperature: bool,
+                 rec_cat_len=None, rec_an_len=None):
         self.cat_pool = cat_pool
         self.an_pool = an_pool
         self.cat_idx = cat_idx  # (n,) int32 record -> unique-cation row
@@ -76,6 +84,10 @@ class DeviceDataset:
         self.n = n
         self.window = window
         self.with_temperature = with_temperature
+        # HOST copies of the per-record atom counts (the paired perm
+        # builder's pairing constraint inputs — never shipped to device)
+        self.rec_cat_len = rec_cat_len  # (n,) np.int32 or None
+        self.rec_an_len = rec_an_len
 
     def arrays(self):
         """The device-array pytree (for passing as a jit ARGUMENT — e.g.
@@ -142,6 +154,8 @@ def build_device_dataset(
         n=len(records),
         window=window,
         with_temperature=with_temperature,
+        rec_cat_len=cat_host.a_len[cat_idx].astype(np.int32),
+        rec_an_len=an_host.a_len[an_idx].astype(np.int32),
     )
 
 
@@ -226,6 +240,213 @@ def make_dp_device_epoch_call(
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Pitch-slot pairing (round 5): two records per pitch region
+# ---------------------------------------------------------------------------
+
+
+class PairedPlan:
+    """Chosen paired-region layout for a dataset (host-side planning).
+
+    ``region_c``/``region_a`` are the per-side region sizes (S ≥ the
+    side's pool pitch, S | window); ``regions`` (R) is the per-step
+    region count — the batch holds ``2R`` graph slots and ~``R·(1+f)``
+    real records at pairing fraction ``f`` (``pair_frac``, estimated at
+    plan time on a fixed-seed sample).
+    """
+
+    def __init__(self, region_c: int, region_a: int, regions: int,
+                 pair_frac: float):
+        self.region_c = region_c
+        self.region_a = region_a
+        self.regions = regions
+        self.pair_frac = pair_frac
+
+    def __repr__(self):
+        return (f"PairedPlan(region_c={self.region_c}, "
+                f"region_a={self.region_a}, regions={self.regions}, "
+                f"pair_frac={self.pair_frac:.3f})")
+
+
+def _fold_pair(chunk: np.ndarray, ca: np.ndarray, an: np.ndarray,
+               S_c: int, S_a: int):
+    """Fold-pairing of one record chunk: sort by cation size, pair the
+    k-th smallest with the k-th largest, accept where BOTH sides fit.
+
+    Returns ``(a_slots, b_slots)`` region arrays (b = -1 for singles),
+    pairs first then singles — the overflow trimmer pushes back the tail,
+    giving unpaired records another chance in the next chunk. Vectorized
+    (no per-record Python loop); marginally below optimal two-pointer
+    matching on adversarial mixes, identical on the measured IL stats
+    (fold fit fraction 1.0 at S_c=pitch_c, S_a=2·pitch_a).
+    """
+    srt = chunk[np.argsort(ca[chunk], kind="stable")]
+    n = len(srt)
+    h = n // 2
+    small = srt[:h]
+    big = srt[n - 1:n - 1 - h:-1] if h else srt[:0]
+    mid = srt[h:n - h]  # one leftover element when n is odd
+    fits = np.ones(h, bool)
+    if h:
+        fits = ((ca[big] + ca[small] <= S_c)
+                & (an[big] + an[small] <= S_a))
+    a_slots = np.concatenate([big[fits], big[~fits], small[~fits], mid])
+    b_slots = np.concatenate(
+        [small[fits], np.full(int((~fits).sum()) * 2 + len(mid), -1,
+                              chunk.dtype)])
+    return a_slots, b_slots
+
+
+def choose_paired_plan(
+    ds: DeviceDataset, batch_size: int, sample: int = 4096,
+) -> Optional[PairedPlan]:
+    """Pick per-side region sizes + region count from dataset stats.
+
+    Candidates per side: ``S = pitch`` (plane halves when a pair fits) and
+    ``S = 2·pitch`` (any pair fits — plane merely matches the unpaired
+    layout, useful when that side's molecules are too large relative to
+    their pitch to co-reside). Cost model: total windows per record ∝
+    ``(S_c + S_a) / (1 + f)`` with ``f`` the fold-pairing fit fraction on
+    a fixed-seed sample; returns None when no combination beats the
+    unpaired ``pitch_c + pitch_a`` (the caller then keeps single-occupancy
+    packing).
+    """
+    W = ds.window
+    ca, an = ds.rec_cat_len, ds.rec_an_len
+    if ca is None or an is None:
+        return None
+    p_c, p_a = ds.cat_pool.pitch, ds.an_pool.pitch
+
+    def cands(p):
+        out = [p]
+        if 2 * p <= W:
+            out.append(2 * p)
+        return out
+
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(ds.n)[:min(ds.n, sample)].astype(np.int32)
+    best = None
+    for S_c in cands(p_c):
+        for S_a in cands(p_a):
+            a_slots, b_slots = _fold_pair(idx, ca, an, S_c, S_a)
+            n_regions = len(a_slots)
+            f = float((b_slots >= 0).sum()) / max(n_regions, 1)
+            cost = (S_c + S_a) / (1.0 + f)
+            if best is None or cost < best[0]:
+                best = (cost, S_c, S_a, f)
+    unpaired_cost = float(p_c + p_a)
+    if best is None or best[0] >= unpaired_cost * 0.999:
+        return None
+    _, S_c, S_a, f = best
+    lcm = np.lcm(W // S_c, W // S_a)
+    R = max(int(lcm),
+            int(round(batch_size / (1.0 + f) / lcm)) * int(lcm))
+    return PairedPlan(S_c, S_a, R, f)
+
+
+def build_paired_perm(
+    ds: DeviceDataset, order: np.ndarray, plan: PairedPlan,
+) -> np.ndarray:
+    """Turn a shuffled record order into paired region slots.
+
+    Output: int32 array of length ``n_steps·2R`` where positions
+    ``[s·2R + 2k, s·2R + 2k + 1]`` are step ``s`` region ``k``'s A and B
+    records (``-1`` = empty). Guarantees: every record appears exactly
+    once; every region satisfies ``la+lb ≤ region`` on BOTH sides;
+    singles ride in the A slot (the device layout's addressing contract).
+    Within-batch order is pairing-sorted — irrelevant to SGD (the batch
+    gradient is a sum); which records share a batch still follows the
+    shuffled order, chunk-wise.
+    """
+    ca, an = ds.rec_cat_len, ds.rec_an_len
+    R = plan.regions
+    S_c, S_a = plan.region_c, plan.region_a
+    out: List[np.ndarray] = []
+    order = np.asarray(order, np.int32)
+    pos = 0
+    carry = np.zeros(0, np.int32)
+    while pos < len(order) or len(carry):
+        take = min(2 * R - len(carry), len(order) - pos)
+        chunk = np.concatenate([carry, order[pos:pos + take]])
+        pos += take
+        a_slots, b_slots = _fold_pair(chunk, ca, an, S_c, S_a)
+        if len(a_slots) > R:
+            over_a, over_b = a_slots[R:], b_slots[R:]
+            carry = np.concatenate([over_a, over_b[over_b >= 0]])
+            a_slots, b_slots = a_slots[:R], b_slots[:R]
+        else:
+            carry = np.zeros(0, np.int32)
+            pad = R - len(a_slots)
+            a_slots = np.concatenate([a_slots, np.full(pad, -1, np.int32)])
+            b_slots = np.concatenate([b_slots, np.full(pad, -1, np.int32)])
+        slots = np.empty(2 * R, np.int32)
+        slots[0::2] = a_slots
+        slots[1::2] = b_slots
+        out.append(slots)
+    return (np.concatenate(out) if out
+            else np.zeros(0, np.int32))
+
+
+def _device_batch_paired(ds: DeviceDataset, idx: jnp.ndarray,
+                         region_c: int, region_a: int) -> IonPairBatch:
+    """Pack one PAIRED batch on device from ``2R`` slot record indices
+    (``-1`` = empty slot; graph ``i`` <-> slot ``i``)."""
+    valid = idx >= 0
+    safe = jnp.where(valid, idx, 0)
+
+    def ion_sel(ion_idx):
+        return jnp.where(valid, ion_idx[safe], -1).astype(jnp.int32)
+
+    cat_sel = ion_sel(ds.cat_idx)
+    an_sel = ion_sel(ds.an_idx)
+    B2 = int(idx.shape[0])
+    return IonPairBatch(
+        cation=pack_side_paired(ds.cat_pool, cat_sel[0::2], cat_sel[1::2],
+                                ds.window, region_c),
+        anion=pack_side_paired(ds.an_pool, an_sel[0::2], an_sel[1::2],
+                               ds.window, region_a),
+        temperature=(jnp.where(valid, ds.temperature[safe], 0.0)[:, None]
+                     if ds.with_temperature
+                     else jnp.zeros((B2, 1), jnp.float32)),
+        y=jnp.where(valid, ds.y[safe], 0.0),
+        sample_mask=valid.astype(jnp.float32),
+    )
+
+
+def make_paired_epoch_call(inner_step, ds: DeviceDataset, plan: PairedPlan,
+                           steps_per_call: int):
+    """Paired analogue of :func:`make_device_epoch_call`: the scan body
+    packs each batch with :func:`pack_side_paired` from ``2R`` slot
+    indices per step (built by :func:`build_paired_perm` — NOT a plain
+    permutation). Same signature/donation/sentinel-cond contract."""
+    R, K = plan.regions, steps_per_call
+    S_c, S_a = plan.region_c, plan.region_a
+
+    def call(state, ds_arrays, perm, g0):
+        local = ds.with_arrays(ds_arrays)
+
+        def body(s, k):
+            idx = jax.lax.dynamic_slice(perm, (g0 + k * 2 * R,), (2 * R,))
+            batch = _device_batch_paired(local, idx, S_c, S_a)
+            nk = jnp.sum(batch.sample_mask)
+
+            def run(s_):
+                s2, m = inner_step(s_, batch)
+                return s2, m["loss"] * nk
+
+            def skip(s_):
+                return s_, jnp.float32(0.0)
+
+            s2, weighted = jax.lax.cond(nk > 0, run, skip, s)
+            return s2, (weighted, nk)
+
+        state, (losses, nks) = jax.lax.scan(
+            body, state, jnp.arange(K, dtype=jnp.int32))
+        return state, {"loss_sum": jnp.sum(losses), "n": jnp.sum(nks)}
+
+    return jax.jit(call, donate_argnums=(0,))
 
 
 def make_device_epoch_call(inner_step, ds: DeviceDataset, batch_size: int,

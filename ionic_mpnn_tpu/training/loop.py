@@ -448,37 +448,88 @@ def fit(
             if ds is not None:
                 inner = make_train_step(model, model_cfg, train_cfg,
                                         optimizer, has_bs, jit_compile=False)
-                # WHOLE-EPOCH scan: with batches packed on device there is
-                # no reason to chunk the epoch into steps_per_call groups
-                # — one dispatch drives every step of the epoch (the scan
-                # trip count doesn't grow the program), eliminating the
-                # per-dispatch overhead chain entirely (round 4: the 7
-                # dispatches of a 49-step epoch carried ~0.3 s of the
-                # 0.48 s steady epoch).
-                K_ep = max(1, -(-ds.n // plan.batch_size))
-                epoch_call = make_device_epoch_call(inner, ds, plan.batch_size,
-                                                    K_ep)
                 # the dataset rides as an ARGUMENT every call — closing
                 # over it corrupts it on the axon backend after a few
                 # donated calls (round-4 quality bisect, battery 36)
                 ds_arrays = ds.arrays()
-                BK = plan.batch_size * K_ep
 
-                def device_epoch(state, epoch, losses, ns):
-                    perm = np.random.default_rng(
-                        train_cfg.seed + epoch).permutation(ds.n
-                                                            ).astype(np.int32)
-                    pad = (-len(perm)) % BK
-                    perm_dev = jax.device_put(jnp.asarray(np.concatenate(
-                        [perm, np.full(pad, ds.n, np.int32)])))
-                    for g0 in range(0, ds.n, BK):
-                        state, m = epoch_call(state, ds_arrays, perm_dev,
-                                              jnp.int32(g0))
-                        losses.append(m["loss_sum"] / jnp.maximum(m["n"], 1.0))
-                        ns.append(min(BK, ds.n - g0))
-                    return state
+                # Pitch-slot pairing (round 5): two records per region
+                # when their sizes fit — halves the cation node plane the
+                # single-occupancy pitch layout inflated (battery 40).
+                paired = train_cfg.paired_epochs
+                if paired == "auto":
+                    paired = True
+                pplan = None
+                if paired:
+                    from .device_epochs import (
+                        build_paired_perm,
+                        choose_paired_plan,
+                        make_paired_epoch_call,
+                    )
 
-                group_epoch_runner = device_epoch
+                    pplan = choose_paired_plan(ds, plan.batch_size)
+
+                if pplan is not None:
+                    # WHOLE-EPOCH scan sized to the ESTIMATED region
+                    # count; an epoch whose pairing lands under the
+                    # estimate just runs one extra (mostly-sentinel,
+                    # cond-skipped) dispatch.
+                    est_rps = pplan.regions * (1.0 + pplan.pair_frac)
+                    K_ep = max(1, -(-ds.n // max(int(est_rps), 1)))
+                    epoch_call = make_paired_epoch_call(inner, ds, pplan,
+                                                        K_ep)
+                    slots = 2 * pplan.regions * K_ep
+
+                    def device_epoch(state, epoch, losses, ns):
+                        order = np.random.default_rng(
+                            train_cfg.seed + epoch).permutation(
+                                ds.n).astype(np.int32)
+                        perm = build_paired_perm(ds, order, pplan)
+                        pad = (-len(perm)) % slots
+                        perm_h = np.concatenate(
+                            [perm, np.full(pad, -1, np.int32)])
+                        perm_dev = jax.device_put(jnp.asarray(perm_h))
+                        for g0 in range(0, len(perm_h), slots):
+                            state, m = epoch_call(state, ds_arrays, perm_dev,
+                                                  jnp.int32(g0))
+                            losses.append(
+                                m["loss_sum"] / jnp.maximum(m["n"], 1.0))
+                            # real-record count of this dispatch, host-side
+                            # (fetching m["n"] would sync mid-epoch)
+                            ns.append(int((perm_h[g0:g0 + slots] >= 0).sum()))
+                        return state
+
+                    group_epoch_runner = device_epoch
+                else:
+                    # WHOLE-EPOCH scan: with batches packed on device
+                    # there is no reason to chunk the epoch into
+                    # steps_per_call groups — one dispatch drives every
+                    # step of the epoch (the scan trip count doesn't grow
+                    # the program), eliminating the per-dispatch overhead
+                    # chain entirely (round 4: the 7 dispatches of a
+                    # 49-step epoch carried ~0.3 s of the 0.48 s steady
+                    # epoch).
+                    K_ep = max(1, -(-ds.n // plan.batch_size))
+                    epoch_call = make_device_epoch_call(
+                        inner, ds, plan.batch_size, K_ep)
+                    BK = plan.batch_size * K_ep
+
+                    def device_epoch(state, epoch, losses, ns):
+                        perm = np.random.default_rng(
+                            train_cfg.seed + epoch).permutation(
+                                ds.n).astype(np.int32)
+                        pad = (-len(perm)) % BK
+                        perm_dev = jax.device_put(jnp.asarray(np.concatenate(
+                            [perm, np.full(pad, ds.n, np.int32)])))
+                        for g0 in range(0, ds.n, BK):
+                            state, m = epoch_call(state, ds_arrays, perm_dev,
+                                                  jnp.int32(g0))
+                            losses.append(
+                                m["loss_sum"] / jnp.maximum(m["n"], 1.0))
+                            ns.append(min(BK, ds.n - g0))
+                        return state
+
+                    group_epoch_runner = device_epoch
 
         if K > 1:
             scan_step = make_scan_train_step(
