@@ -189,7 +189,17 @@ def make_eval_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
         data = _data_loss(out["pred"], batch.y, batch.sample_mask, loss_kind, delta)
         loss = data + _l2_penalty(params, l2)
         n = jnp.sum(batch.sample_mask)
-        return {"loss_sum": data * n, "reg": loss - data, "n": n, "pred": out["pred"]}
+        res = {"loss_sum": data * n, "reg": loss - data, "n": n,
+               "pred": out["pred"]}
+        if "fp_cat" in out:
+            # dead-unit canary: per-column max of the relu'd cation
+            # fingerprint over real samples. The round-4 collapse basin
+            # (battery 36) killed 31/32 cation fp units and presented as
+            # a mysterious R² ≈ 0.42 plateau; tracking the fraction of
+            # never-firing columns per epoch makes it loud instead.
+            m = batch.sample_mask[:, None].astype(out["fp_cat"].dtype)
+            res["fp_cat_colmax"] = jnp.max(out["fp_cat"] * m, axis=0)
+        return res
 
     return jax.jit(step)
 
@@ -686,6 +696,11 @@ def fit(
             history["loss"].append(train_loss)
             history["val_loss"].append(val_loss)
             history["epoch_seconds"].append(time.time() - t0)
+            if outs and "fp_cat_colmax" in outs[0]:
+                colmax = np.max(np.stack(
+                    [np.asarray(o["fp_cat_colmax"]) for o in outs]), axis=0)
+                history.setdefault("dead_fp_cat_frac", []).append(
+                    float((colmax <= 0.0).mean()))
 
             if verbose and epoch in log_epochs:
                 print(

@@ -24,12 +24,15 @@ def main() -> int:
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     # default "auto" (on for accelerators); "device"/"host" force it
     mode = sys.argv[4] if len(sys.argv) > 4 else "auto"
-    if mode not in ("auto", "device", "host"):
+    if mode not in ("auto", "device", "host", "device-unpaired"):
         raise SystemExit(
-            f"unknown mode {mode!r}: expected auto | device | host\n"
+            f"unknown mode {mode!r}: expected auto | device | host | "
+            "device-unpaired\n"
             "usage: tpu_fit_throughput.py [n_records] [batch] [epochs] [mode]"
         )
-    device_epochs = {"device": True, "host": False, "auto": "auto"}[mode]
+    device_epochs = {"device": True, "host": False, "auto": "auto",
+                     "device-unpaired": True}[mode]
+    paired = False if mode == "device-unpaired" else "auto"
 
     from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
 
@@ -55,7 +58,7 @@ def main() -> int:
                            onehot_window=window)
     tcfg = TrainConfig(epochs=epochs, batch_size=batch_size,
                        early_stopping_patience=epochs + 1, seed=0,
-                       device_epochs=device_epochs)
+                       device_epochs=device_epochs, paired_epochs=paired)
     plan = plan_capacities(records, batch_size=batch_size,
                            edge_layout=edge_layout_for(impl),
                            window=window)
@@ -70,6 +73,7 @@ def main() -> int:
     print(json.dumps({
         "n_records": n_records,
         "batch_size": batch_size, "device_epochs": device_epochs,
+        "paired_epochs": paired,
         "message_impl": impl,
         "compute_dtype": dtype,
         "onehot_window": window,

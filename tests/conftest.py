@@ -48,6 +48,9 @@ _AUTO_SLOW = {
     "test_early_stopping_restores_best",
     "test_model_equal_across_embed_and_readout_paths",
     "test_fit_device_epochs_learns",
+    "test_quality_protocol_escapes_collapse_basin",
+    "test_paired_step_matches_host_step",
+    "test_pack_side_paired_structural_exactness",
 }
 
 

@@ -185,3 +185,46 @@ def test_checkpoint_roundtrip(tmp_path, encoded_viscosity):
     p0 = np.asarray(model.apply(variables, batch)["pred"])
     p1 = np.asarray(model.apply({"params": restored["params"]}, batch)["pred"])
     np.testing.assert_allclose(p0, p1, rtol=1e-6)
+
+@pytest.mark.slow
+def test_quality_protocol_escapes_collapse_basin(encoded_viscosity):
+    """Regression canary for the relu-collapse basin (RESULTS battery 36,
+    VERDICT r4 item 5): the seed-0 quality protocol — device epochs +
+    warmup — must escape the temperature-only plateau (dev R² ≈ 0.42-0.53
+    on this data class) AND the dead-unit telemetry must show live cation
+    fp units. A change that re-opens the basin (warmup regression, an
+    optimizer-guard bug, a pack-path corruption) fails loudly here
+    instead of presenting as a mysterious low-R² run."""
+    records = encoded_viscosity["viscosity"]
+    vocab = encoded_viscosity["vocab"]
+    idx_train, idx_dev, _ = random_split(len(records))
+    train = [records[i] for i in idx_train]
+    dev = [records[i] for i in idx_dev]
+
+    cfg = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                           num_steps=3, message_impl="onehot",
+                           onehot_window=64)
+    # the production protocol in miniature: device-resident epochs (the
+    # battery-36 trigger path), warmup spanning the first ~8 epochs
+    # (warmup ending inside epoch 1 was battery 36's too-short failure)
+    tcfg = TrainConfig(epochs=120, batch_size=32, warmup_steps=60,
+                       early_stopping_patience=120, seed=0,
+                       device_epochs=True)
+    plan = plan_capacities(train, batch_size=tcfg.batch_size,
+                           edge_layout="window_aligned", window=64)
+    model = ViscosityModel(cfg)
+    result = fit(model, cfg, tcfg, train, dev, plan, verbose=False)
+
+    metrics = evaluate_splits(
+        model, result.params, result.batch_stats,
+        {"dev": dev}, plan, result.normalizer,
+    )
+    assert metrics["dev"]["r2"] > 0.6, (metrics,
+                                        result.history.get(
+                                            "dead_fp_cat_frac", [])[-3:])
+    # telemetry present + units alive: benign relu die-off at convergence
+    # sits around half the columns on this small run; the basin kills
+    # 31/32 (0.97) — gate well between the two
+    dead = result.history["dead_fp_cat_frac"]
+    assert len(dead) == len(result.history["loss"])
+    assert dead[-1] < 0.85, dead[-5:]
