@@ -15,7 +15,7 @@ from typing import Sequence, Tuple
 import numpy as np
 from sklearn.model_selection import train_test_split
 
-__all__ = ["random_split", "pair_level_split"]
+__all__ = ["random_split", "pair_level_split", "group_holdout_split"]
 
 
 def random_split(
@@ -26,6 +26,30 @@ def random_split(
     idx_train, idx_tmp = train_test_split(indices, test_size=test_size, random_state=seed)
     idx_dev, idx_test = train_test_split(idx_tmp, test_size=0.50, random_state=seed)
     return idx_train, idx_dev, idx_test
+
+
+def group_holdout_split(
+    groups: Sequence[str], test_group: str, seed: int = 42,
+    dev_size: float = 0.10,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hold out EVERY record of ``test_group`` for test (extrapolation
+    protocol: e.g. train on 4 cation families, test on the 5th — VERDICT
+    r4 item 4; the reference's own caveat class, README.md:423-434, taken
+    one level stricter than the pair split). Dev is a seeded random
+    fraction of the remaining records; compose with
+    :func:`pair_level_split` ideas upstream if a leak-free dev is also
+    needed.
+    """
+    groups = np.asarray(groups)
+    test_idx = np.where(groups == test_group)[0]
+    if len(test_idx) == 0:
+        raise ValueError(f"test_group {test_group!r} matches no records "
+                         f"(groups present: {sorted(set(groups))})")
+    rest = np.where(groups != test_group)[0]
+    rng = np.random.default_rng(seed)
+    rest = rng.permutation(rest)
+    n_dev = max(1, int(round(dev_size * len(rest))))
+    return np.sort(rest[n_dev:]), np.sort(rest[:n_dev]), test_idx
 
 
 def pair_level_split(

@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""Quality-protocol battery: random / pair-level / family-held-out splits
+on HARD synthetic labels for all three model families (VERDICT r4 item 4).
+
+Two hardenings over the battery-37 protocol:
+
+1. Labels come from ``data/synthetic.py`` ``label_mode="hard"`` — a
+   generating law the VFT head CANNOT express exactly (structure-coupled
+   non-VFT temperature residual + heteroskedastic noise), so R² measures
+   structure learning against an irreducible floor instead of
+   head-shape matching.
+2. Besides the reference's seed-42 random split and the leak-free
+   pair-level split, a FAMILY-HOLDOUT split (train on 4 cation template
+   families, test on the 5th — ``training/splits.group_holdout_split``)
+   reports extrapolation to unseen cation chemistry, the reference's own
+   caveat class (/root/reference/README.md:423-434) taken one level
+   stricter.
+
+Protocol sizes mirror battery 37 (viscosity 400 ep warmup 1000, MP 300
+ep normalize-y, transfer 2-stage from the per-split viscosity result).
+Prints one JSON line per (task, split) as it lands, then a summary table.
+
+Usage:
+  python scripts/quality_protocols.py [--tasks viscosity,mp,transfer]
+      [--splits random,pair,family] [--test-family pyridinium]
+      [--epochs-viscosity 400] [--epochs-mp 300] [--label-mode hard]
+      [--n-viscosity 7666] [--n-mp 400] [--out results/quality_protocols.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", default="viscosity,mp,transfer")
+    ap.add_argument("--splits", default="random,pair,family")
+    ap.add_argument("--test-family", default="pyridinium")
+    ap.add_argument("--epochs-viscosity", type=int, default=400)
+    ap.add_argument("--epochs-mp", type=int, default=300)
+    ap.add_argument("--label-mode", default="hard", choices=["hard", "vft"])
+    ap.add_argument("--n-viscosity", type=int, default=7666)
+    ap.add_argument("--n-mp", type=int, default=400)
+    ap.add_argument("--batch-size", type=int, default=0,
+                    help="0 = auto (1024 on accelerators, 64 on CPU)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="results/quality_protocols.json")
+    args = ap.parse_args()
+
+    from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import numpy as np
+
+    from ionic_mpnn_tpu.config import (
+        TrainConfig,
+        edge_layout_for,
+        melting_point_config,
+        resolve_compute_dtype,
+        resolve_message_impl,
+        resolve_onehot_window,
+        viscosity_config,
+    )
+    from ionic_mpnn_tpu.data import encode, parse, plan_capacities
+    from ionic_mpnn_tpu.data import vocab as vocab_mod
+    from ionic_mpnn_tpu.data.synthetic import (
+        cation_family_from_smiles,
+        generate_ionic_liquid_raw,
+    )
+    from ionic_mpnn_tpu.models import MeltingPointModel, ViscosityModel
+    from ionic_mpnn_tpu.training import (
+        evaluate_splits,
+        fit,
+        group_holdout_split,
+        pair_level_split,
+        random_split,
+    )
+    from ionic_mpnn_tpu.training.transfer_pipeline import train_transfer
+
+    import jax
+
+    import tempfile
+
+    tasks = args.tasks.split(",")
+    split_kinds = args.splits.split(",")
+
+    # ---- data: hard-label synthetic raw through the full pipeline ----
+    raw_dir = Path(tempfile.mkdtemp(prefix="qp_raw_"))
+    paths = generate_ionic_liquid_raw(
+        raw_dir, n_viscosity=args.n_viscosity, n_mp=args.n_mp,
+        seed=args.seed, label_mode=args.label_mode)
+    cations, anions = parse.load_ca_smiles(paths["ca"])
+    vis = parse.parse_viscosity(paths["viscosity"], cations, anions)
+    mp = parse.parse_melting_point(paths["mp"], cations, anions)
+    vis_graphs, _ = parse.convert_records_to_graphs(vis, "viscosity")
+    mp_graphs, _ = parse.convert_records_to_graphs(mp, "mp")
+    vocab = vocab_mod.build_vocab([vis_graphs, mp_graphs])
+    vis_ids, _ = encode.encode_dataset(vis_graphs, vocab)
+    mp_ids, _ = encode.encode_dataset(mp_graphs, vocab)
+
+    cat_smiles = dict(cations)  # id -> smiles
+
+    def families(records):
+        return [cation_family_from_smiles(cat_smiles[r["pair_id"].split("_")[0]])
+                for r in records]
+
+    impl = resolve_message_impl("auto")
+    dtype = resolve_compute_dtype("auto")
+    window = resolve_onehot_window(dtype)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    bs = args.batch_size or (64 if on_cpu else 1024)
+
+    def split_indices(records, kind):
+        if kind == "random":
+            return random_split(len(records))
+        if kind == "pair":
+            return pair_level_split([r["pair_id"] for r in records])
+        if kind == "family":
+            return group_holdout_split(families(records), args.test_family)
+        raise SystemExit(f"unknown split {kind}")
+
+    results = []
+
+    def report(row):
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    vis_fits = {}  # split kind -> viscosity FitResult (transfer reuses)
+
+    for kind in split_kinds:
+        # ---------------- viscosity ----------------
+        if "viscosity" in tasks or "transfer" in tasks:
+            idx = split_indices(vis_ids, kind)
+            tr = [vis_ids[i] for i in idx[0]]
+            dv = [vis_ids[i] for i in idx[1]]
+            te = [vis_ids[i] for i in idx[2]]
+            cfg = viscosity_config(
+                vocab.atom_vocab_size, vocab.bond_vocab_size,
+                message_impl=impl, compute_dtype=dtype, onehot_window=window)
+            tcfg = TrainConfig(
+                epochs=args.epochs_viscosity, batch_size=min(bs, len(tr)),
+                early_stopping_patience=50, seed=args.seed,
+                warmup_steps=1000)
+            plan = plan_capacities(tr, batch_size=tcfg.batch_size,
+                                   edge_layout=edge_layout_for(impl),
+                                   window=window)
+            model = ViscosityModel(cfg)
+            t0 = time.time()
+            res = fit(model, cfg, tcfg, tr, dv, plan, verbose=False)
+            m = evaluate_splits(model, res.params, res.batch_stats,
+                                {"train": tr, "dev": dv, "test": te},
+                                plan, res.normalizer)
+            vis_fits[kind] = res
+            if "viscosity" in tasks:
+                report({"task": "viscosity", "split": kind,
+                        "n": [len(tr), len(dv), len(te)],
+                        "epochs_run": res.epochs_run,
+                        "wall_s": round(time.time() - t0, 1),
+                        "dead_fp_cat_frac":
+                            (res.history.get("dead_fp_cat_frac") or [None])[-1],
+                        **{f"{s}_r2": round(m[s]["r2"], 4) for s in m},
+                        **{f"{s}_mae": round(m[s]["mae"], 4) for s in m}})
+
+        # ---------------- melting point ----------------
+        if "mp" in tasks:
+            idx = split_indices(mp_ids, kind)
+            tr = [mp_ids[i] for i in idx[0]]
+            dv = [mp_ids[i] for i in idx[1]]
+            te = [mp_ids[i] for i in idx[2]]
+            cfg = melting_point_config(vocab.atom_vocab_size,
+                                       vocab.bond_vocab_size,
+                                       message_impl=impl,
+                                       compute_dtype=dtype,
+                                       onehot_window=window)
+            tcfg = TrainConfig(
+                epochs=args.epochs_mp, batch_size=min(bs, max(32, len(tr) // 4)),
+                early_stopping_patience=50, seed=args.seed,
+                normalize_y=True)
+            plan = plan_capacities(tr, batch_size=tcfg.batch_size,
+                                   edge_layout=edge_layout_for(impl),
+                                   window=window, with_temperature=False,
+                                   target_key="mp")
+            model = MeltingPointModel(cfg)
+            t0 = time.time()
+            res = fit(model, cfg, tcfg, tr, dv, plan, verbose=False)
+            m = evaluate_splits(model, res.params, res.batch_stats,
+                                {"train": tr, "dev": dv, "test": te},
+                                plan, res.normalizer)
+            report({"task": "mp", "split": kind,
+                    "n": [len(tr), len(dv), len(te)],
+                    "epochs_run": res.epochs_run,
+                    "wall_s": round(time.time() - t0, 1),
+                    **{f"{s}_r2": round(m[s]["r2"], 4) for s in m},
+                    **{f"{s}_mae": round(m[s]["mae"], 4) for s in m}})
+
+        # ---------------- transfer ----------------
+        if "transfer" in tasks:
+            idx = split_indices(mp_ids, kind)
+            tr = [mp_ids[i] for i in idx[0]]
+            dv = [mp_ids[i] for i in idx[1]]
+            te = [mp_ids[i] for i in idx[2]]
+            cfg = viscosity_config(
+                vocab.atom_vocab_size, vocab.bond_vocab_size,
+                message_impl=impl, compute_dtype=dtype, onehot_window=window)
+            plan = plan_capacities(tr, batch_size=min(bs, max(32, len(tr) // 4)),
+                                   edge_layout=edge_layout_for(impl),
+                                   window=window, with_temperature=False,
+                                   target_key="mp")
+            t0 = time.time()
+            tres = train_transfer(vis_fits[kind].params, cfg, tr, dv, plan,
+                                  epochs=args.epochs_mp, patience=50,
+                                  seed=args.seed, verbose=False)
+            m = evaluate_splits(tres.model, tres.params, tres.batch_stats,
+                                {"train": tr, "dev": dv, "test": te},
+                                plan, tres.normalizer)
+            report({"task": "transfer", "split": kind,
+                    "n": [len(tr), len(dv), len(te)],
+                    "wall_s": round(time.time() - t0, 1),
+                    **{f"{s}_r2": round(m[s]["r2"], 4) for s in m},
+                    **{f"{s}_mae": round(m[s]["mae"], 4) for s in m}})
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps({
+        "label_mode": args.label_mode, "test_family": args.test_family,
+        "dtype": dtype, "message_impl": impl, "batch_size": bs,
+        "rows": results}, indent=1))
+    # summary table
+    print("\ntask       split    test_R2   test_MAE")
+    for r in results:
+        print(f"{r['task']:<10} {r['split']:<8} {r.get('test_r2'):>7} "
+              f"{r.get('test_mae'):>9}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

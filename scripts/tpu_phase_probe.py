@@ -64,6 +64,8 @@ def fetch_time(fn, carry, xs, iters=20, warmup=3):
 
 def main():
     argv = sys.argv[1:]
+    paired = "--paired" in argv
+    argv = [a for a in argv if a != "--paired"]
     bs = int(argv[0]) if argv and argv[0].isdigit() else 2048
     variants = [a for a in argv if not a.isdigit()] or list(ALL)
     unknown = set(variants) - set(ALL)
@@ -84,10 +86,40 @@ def main():
     )
     plan = plan_capacities(records, batch_size=bs,
                            edge_layout="window_aligned", window=window)
-    stacked = [
-        next(iter_batches(records[:bs], plan, shuffle=True, seed=s))
-        for s in range(INNER)
-    ]
+    if paired:
+        # phase attribution over PAIRED device-packed batches (battery 41
+        # follow-up: the paired step ran 7.4 vs 3.4 ms on host batches)
+        from ionic_mpnn_tpu.training.device_epochs import (
+            _device_batch_paired,
+            build_device_dataset,
+            build_paired_perm,
+            choose_paired_plan,
+        )
+
+        ds = build_device_dataset(records, window, plan.target_key)
+        pplan = choose_paired_plan(ds, bs)
+        print(json.dumps({"paired_plan": repr(pplan)}), flush=True)
+        # enough slots for INNER distinct full batches: concatenate
+        # per-seed permutations of the record set
+        order = np.concatenate([
+            np.random.default_rng(s).permutation(ds.n) for s in range(INNER)
+        ]).astype(np.int32)
+        perm = build_paired_perm(ds, order, pplan)
+        R = pplan.regions
+        assert len(perm) >= INNER * 2 * R
+        packb = jax.jit(lambda a, idx: _device_batch_paired(
+            ds.with_arrays(a), idx, pplan.region_c, pplan.region_a))
+        stacked = [
+            jax.tree.map(np.asarray,
+                         packb(ds.arrays(),
+                               jnp.asarray(perm[k * 2 * R:(k + 1) * 2 * R])))
+            for k in range(INNER)
+        ]
+    else:
+        stacked = [
+            next(iter_batches(records[:bs], plan, shuffle=True, seed=s))
+            for s in range(INNER)
+        ]
     edges = float(np.mean([
         np.asarray(b.cation.edge_mask).sum() + np.asarray(b.anion.edge_mask).sum()
         for b in stacked
