@@ -95,7 +95,7 @@ class DevicePool:
 
 
 def device_pool(pool, duplicate_edges: bool = False,
-                pitch: int = 0) -> DevicePool:
+                pitch: int = 0, em_multiple: int = 1) -> DevicePool:
     """Convert a host :class:`~ionic_mpnn_tpu.inference.IonPool` (int64
     offsets) into int32 device arrays.
 
@@ -113,6 +113,10 @@ def device_pool(pool, duplicate_edges: bool = False,
       this pool globally dst-sorted (see module docstring). Matches the
       host packer's stable global dst sort exactly on the real-edge
       sequence (equal dst keeps insertion order in both).
+
+    ``em_multiple`` rounds the fused plane's per-molecule edge capacity
+    ``em`` up to a multiple (paired-layout tile-alignment experiments;
+    the default 1 keeps the tight max).
 
     Zero-size columns (e.g. an all-single-atom anion pool has no bonds at
     all) are padded with one sentinel row: XLA gathers reject 0-size
@@ -158,6 +162,7 @@ def device_pool(pool, duplicate_edges: bool = False,
                 f"pitch {pitch} < largest ion ({int(a_len_arr.max())} atoms)"
             )
         em = max(int(e_len.max(initial=0)), 1)
+        em = ((em + em_multiple - 1) // em_multiple) * em_multiple
         atoms_np = np.zeros((M, pitch), np.int32)
         ai = np.repeat(np.arange(M, dtype=np.int64), a_len_arr)
         aj = np.arange(a_len_arr.sum(), dtype=np.int64) - np.repeat(
@@ -460,9 +465,10 @@ def padded_aligned_tile(window: int, pitch: int, em: int) -> int:
     return (window // pitch) * em
 
 
-def paired_tile(window: int, region: int, em: int) -> int:
+def paired_tile(window: int, region: int, em: int,
+                edge_budget: int = 0) -> int:
     """The implicit per-window edge tile of :func:`pack_side_paired`."""
-    return (window // region) * 2 * em
+    return (window // region) * (edge_budget or 2 * em)
 
 
 def pack_side_paired(
@@ -471,6 +477,7 @@ def pack_side_paired(
     sel_b: jnp.ndarray,  # (R,) int32 ion indices; -1 = empty slot
     window: int,
     region: int,
+    edge_budget: int = 0,
 ) -> PackedGraphs:
     """PITCH-SLOT PAIRED pack: each ``region``-node slot holds TWO
     molecules — slot ``r``'s A molecule ascending from the region start,
@@ -521,6 +528,18 @@ def pack_side_paired(
       ``gpw = window // region`` — matches ``graph_sum_pool_windowed``'s
       ``w·W + (g − node_graph[w·W])`` addressing; ``-1`` for empty slots.
 
+    ``edge_budget`` (Eb > 0) switches the edge plane from per-molecule-
+    slot capacity (``2·em`` per region) to a SHARED per-region budget:
+    A's edges ascend from the region's first edge slot, B's descend
+    (reversed) from its last — the same flip trick as the node plane —
+    under the host contract ``ea + eb ≤ Eb`` (and ``Eb ≥ em`` so singles
+    always fit). Why: ``em`` is the pool MAX (~1.6× the mean here), so
+    the per-slot layout carries a 184-slot window tile at window=region
+    — lane-misaligned AND bigger than the host layout's 128. A shared
+    budget chosen as a lane multiple (e.g. 128) makes the tile both
+    aligned and smaller than the host plan's (battery 41: the paired
+    backward ran 2.7× the host backward on the 184-tile layout).
+
     Reference scope: layout optimization with no reference counterpart
     (the reference pads every molecule to the batch max —
     train_viscosity.py:255-262); semantics match ``pack_graphs`` on the
@@ -565,23 +584,55 @@ def pack_side_paired(
     node_mask = mask_a | mask_b
 
     # ---- edges: A forward, B with endpoints reflected (u -> S-1-u)
-    tt = jnp.arange(em, dtype=jnp.int32)[None, :]  # (1, em)
     base = (jnp.arange(R, dtype=jnp.int32) * S)[:, None]  # (R, 1)
     e_a = fused_a[:, pitch + em:pitch + 3 * em].reshape(R, em, 2)
     e_b = fused_b[:, pitch + em:pitch + 3 * em].reshape(R, em, 2)
-    emask_a = tt < ea_len[:, None]
-    emask_b = tt < eb_len[:, None]
-    src_a = jnp.where(emask_a, e_a[..., 0] + base, base)
-    dst_a = jnp.where(emask_a, e_a[..., 1] + base, base)
-    src_b = jnp.where(emask_b, (S - 1) - e_b[..., 0] + base, base)
-    dst_b = jnp.where(emask_b, (S - 1) - e_b[..., 1] + base, base)
-    bonds_a = jnp.where(emask_a, fused_a[:, pitch:pitch + em] + 1, 0)
-    bonds_b = jnp.where(emask_b, fused_b[:, pitch:pitch + em] + 1, 0)
-    # region r's edge slots: [A's em | B's em] — (R, 2, em) row-major
-    src = jnp.stack([src_a, src_b], axis=1).reshape(-1).astype(jnp.int32)
-    dst = jnp.stack([dst_a, dst_b], axis=1).reshape(-1).astype(jnp.int32)
-    bond_ids = jnp.stack([bonds_a, bonds_b], axis=1).reshape(-1).astype(jnp.int32)
-    edge_mask = jnp.stack([emask_a, emask_b], axis=1).reshape(-1)
+    if edge_budget:
+        # SHARED region budget: A's edges at the front, B's reversed at
+        # the tail (disjoint by the host contract ea + eb <= Eb)
+        Eb = edge_budget
+        if Eb < em:
+            raise ValueError(f"edge_budget {Eb} < pool em {em} — a single "
+                             "molecule would overflow its region")
+        tt = jnp.arange(Eb, dtype=jnp.int32)[None, :]
+        padE = Eb - em
+        emask_a = tt < ea_len[:, None]
+        emask_b = tt >= (Eb - eb_len)[:, None]
+
+        def front(x):  # (R, em) -> (R, Eb), A ascending from slot 0
+            return jnp.pad(x, ((0, 0), (0, padE)))
+
+        def tail(x):  # (R, em) -> (R, Eb), B reversed at the region end
+            return jnp.pad(jnp.flip(x, axis=1), ((0, 0), (padE, 0)))
+
+        src = jnp.where(
+            emask_a, front(e_a[..., 0]) + base,
+            jnp.where(emask_b, (S - 1) - tail(e_b[..., 0]) + base, base))
+        dst = jnp.where(
+            emask_a, front(e_a[..., 1]) + base,
+            jnp.where(emask_b, (S - 1) - tail(e_b[..., 1]) + base, base))
+        bond_ids = jnp.where(
+            emask_a, front(fused_a[:, pitch:pitch + em]) + 1,
+            jnp.where(emask_b, tail(fused_b[:, pitch:pitch + em]) + 1, 0))
+        edge_mask = (emask_a | emask_b).reshape(-1)
+        src = src.reshape(-1).astype(jnp.int32)
+        dst = dst.reshape(-1).astype(jnp.int32)
+        bond_ids = bond_ids.reshape(-1).astype(jnp.int32)
+    else:
+        tt = jnp.arange(em, dtype=jnp.int32)[None, :]  # (1, em)
+        emask_a = tt < ea_len[:, None]
+        emask_b = tt < eb_len[:, None]
+        src_a = jnp.where(emask_a, e_a[..., 0] + base, base)
+        dst_a = jnp.where(emask_a, e_a[..., 1] + base, base)
+        src_b = jnp.where(emask_b, (S - 1) - e_b[..., 0] + base, base)
+        dst_b = jnp.where(emask_b, (S - 1) - e_b[..., 1] + base, base)
+        bonds_a = jnp.where(emask_a, fused_a[:, pitch:pitch + em] + 1, 0)
+        bonds_b = jnp.where(emask_b, fused_b[:, pitch:pitch + em] + 1, 0)
+        # region r's edge slots: [A's em | B's em] — (R, 2, em) row-major
+        src = jnp.stack([src_a, src_b], axis=1).reshape(-1).astype(jnp.int32)
+        dst = jnp.stack([dst_a, dst_b], axis=1).reshape(-1).astype(jnp.int32)
+        bond_ids = jnp.stack([bonds_a, bonds_b], axis=1).reshape(-1).astype(jnp.int32)
+        edge_mask = jnp.stack([emask_a, emask_b], axis=1).reshape(-1)
 
     # ---- windowed-readout addressing (closed form; -1 = empty slot)
     r = jnp.arange(R, dtype=jnp.int32)

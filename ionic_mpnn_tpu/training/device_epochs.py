@@ -74,7 +74,8 @@ class DeviceDataset:
     def __init__(self, cat_pool: DevicePool, an_pool: DevicePool,
                  cat_idx, an_idx, temperature, y, n: int, window: int,
                  with_temperature: bool,
-                 rec_cat_len=None, rec_an_len=None):
+                 rec_cat_len=None, rec_an_len=None,
+                 rec_cat_elen=None, rec_an_elen=None):
         self.cat_pool = cat_pool
         self.an_pool = an_pool
         self.cat_idx = cat_idx  # (n,) int32 record -> unique-cation row
@@ -84,10 +85,12 @@ class DeviceDataset:
         self.n = n
         self.window = window
         self.with_temperature = with_temperature
-        # HOST copies of the per-record atom counts (the paired perm
+        # HOST copies of the per-record atom/edge counts (the paired perm
         # builder's pairing constraint inputs — never shipped to device)
         self.rec_cat_len = rec_cat_len  # (n,) np.int32 or None
         self.rec_an_len = rec_an_len
+        self.rec_cat_elen = rec_cat_elen  # directed edges, post-dup
+        self.rec_an_elen = rec_an_elen
 
     def arrays(self):
         """The device-array pytree (for passing as a jit ARGUMENT — e.g.
@@ -156,6 +159,10 @@ def build_device_dataset(
         with_temperature=with_temperature,
         rec_cat_len=cat_host.a_len[cat_idx].astype(np.int32),
         rec_an_len=an_host.a_len[an_idx].astype(np.int32),
+        rec_cat_elen=(cat_host.e_len[cat_idx]
+                      * (2 if duplicate_edges else 1)).astype(np.int32),
+        rec_an_elen=(an_host.e_len[an_idx]
+                     * (2 if duplicate_edges else 1)).astype(np.int32),
     )
 
 
@@ -258,22 +265,31 @@ class PairedPlan:
     """
 
     def __init__(self, region_c: int, region_a: int, regions: int,
-                 pair_frac: float):
+                 pair_frac: float, edge_budget_c: int = 0,
+                 edge_budget_a: int = 0):
         self.region_c = region_c
         self.region_a = region_a
         self.regions = regions
         self.pair_frac = pair_frac
+        # shared per-region edge budgets (0 = per-molecule-slot 2·em
+        # layout); lane-aligned budgets shrink the window edge tile AND
+        # align it — battery 41's paired-backward fix
+        self.edge_budget_c = edge_budget_c
+        self.edge_budget_a = edge_budget_a
 
     def __repr__(self):
         return (f"PairedPlan(region_c={self.region_c}, "
                 f"region_a={self.region_a}, regions={self.regions}, "
-                f"pair_frac={self.pair_frac:.3f})")
+                f"pair_frac={self.pair_frac:.3f}, "
+                f"edge_budget_c={self.edge_budget_c}, "
+                f"edge_budget_a={self.edge_budget_a})")
 
 
-def _fold_pair(chunk: np.ndarray, ca: np.ndarray, an: np.ndarray,
-               S_c: int, S_a: int):
+def _fold_pair(chunk: np.ndarray, ds: "DeviceDataset", plan: "PairedPlan"):
     """Fold-pairing of one record chunk: sort by cation size, pair the
-    k-th smallest with the k-th largest, accept where BOTH sides fit.
+    k-th smallest with the k-th largest, accept where BOTH sides' node
+    sums fit the regions AND (when shared edge budgets are set) both
+    sides' edge sums fit the budgets.
 
     Returns ``(a_slots, b_slots)`` region arrays (b = -1 for singles),
     pairs first then singles — the overflow trimmer pushes back the tail,
@@ -282,6 +298,7 @@ def _fold_pair(chunk: np.ndarray, ca: np.ndarray, an: np.ndarray,
     matching on adversarial mixes, identical on the measured IL stats
     (fold fit fraction 1.0 at S_c=pitch_c, S_a=2·pitch_a).
     """
+    ca, an = ds.rec_cat_len, ds.rec_an_len
     srt = chunk[np.argsort(ca[chunk], kind="stable")]
     n = len(srt)
     h = n // 2
@@ -290,8 +307,14 @@ def _fold_pair(chunk: np.ndarray, ca: np.ndarray, an: np.ndarray,
     mid = srt[h:n - h]  # one leftover element when n is odd
     fits = np.ones(h, bool)
     if h:
-        fits = ((ca[big] + ca[small] <= S_c)
-                & (an[big] + an[small] <= S_a))
+        fits = ((ca[big] + ca[small] <= plan.region_c)
+                & (an[big] + an[small] <= plan.region_a))
+        if plan.edge_budget_c:
+            ec = ds.rec_cat_elen
+            fits &= ec[big] + ec[small] <= plan.edge_budget_c
+        if plan.edge_budget_a:
+            ea = ds.rec_an_elen
+            fits &= ea[big] + ea[small] <= plan.edge_budget_a
     a_slots = np.concatenate([big[fits], big[~fits], small[~fits], mid])
     b_slots = np.concatenate(
         [small[fits], np.full(int((~fits).sum()) * 2 + len(mid), -1,
@@ -301,49 +324,66 @@ def _fold_pair(chunk: np.ndarray, ca: np.ndarray, an: np.ndarray,
 
 def choose_paired_plan(
     ds: DeviceDataset, batch_size: int, sample: int = 4096,
+    edge_cost_weight: float = 0.4,
 ) -> Optional[PairedPlan]:
-    """Pick per-side region sizes + region count from dataset stats.
+    """Pick per-side region sizes, shared edge budgets, and the region
+    count from dataset stats.
 
-    Candidates per side: ``S = pitch`` (plane halves when a pair fits) and
-    ``S = 2·pitch`` (any pair fits — plane merely matches the unpaired
-    layout, useful when that side's molecules are too large relative to
-    their pitch to co-reside). Cost model: total windows per record ∝
-    ``(S_c + S_a) / (1 + f)`` with ``f`` the fold-pairing fit fraction on
-    a fixed-seed sample; returns None when no combination beats the
-    unpaired ``pitch_c + pitch_a`` (the caller then keeps single-occupancy
-    packing).
+    Region candidates per side: ``S = pitch`` (plane halves when a pair
+    fits) and ``S = 2·pitch`` (any pair fits — plane merely matches the
+    unpaired layout, useful when that side's molecules are too large
+    relative to their pitch to co-reside). Edge-budget candidates per
+    side: the multiples of ``128·S/window`` spanning ``[em, 2·em]`` — the
+    values that make the per-window edge tile a 128-lane multiple
+    (battery 41: the misaligned 2·em tile ran the paired backward 2.7×
+    the host backward). Cost model per record ∝
+    ``(S_c + S_a + w·(Eb_c + Eb_a)) / (1 + f)`` with ``f`` the joint
+    fold-pairing fit fraction on a fixed-seed sample; returns None when
+    no combination beats the unpaired layout's
+    ``pitch_c + pitch_a + w·(em_c + em_a)``.
     """
     W = ds.window
     ca, an = ds.rec_cat_len, ds.rec_an_len
     if ca is None or an is None:
         return None
     p_c, p_a = ds.cat_pool.pitch, ds.an_pool.pitch
+    em_c, em_a = ds.cat_pool.em, ds.an_pool.em
 
-    def cands(p):
+    def s_cands(p):
         out = [p]
         if 2 * p <= W:
             out.append(2 * p)
         return out
 
+    def e_cands(S, em):
+        step = max(128 * S // W, 1)
+        lo = -(-em // step) * step
+        hi = -(-(2 * em) // step) * step
+        return list(range(lo, hi + 1, step))
+
     rng = np.random.default_rng(0)
     idx = rng.permutation(ds.n)[:min(ds.n, sample)].astype(np.int32)
+    w = edge_cost_weight
     best = None
-    for S_c in cands(p_c):
-        for S_a in cands(p_a):
-            a_slots, b_slots = _fold_pair(idx, ca, an, S_c, S_a)
-            n_regions = len(a_slots)
-            f = float((b_slots >= 0).sum()) / max(n_regions, 1)
-            cost = (S_c + S_a) / (1.0 + f)
-            if best is None or cost < best[0]:
-                best = (cost, S_c, S_a, f)
-    unpaired_cost = float(p_c + p_a)
+    for S_c in s_cands(p_c):
+        for S_a in s_cands(p_a):
+            for Eb_c in e_cands(S_c, em_c):
+                for Eb_a in e_cands(S_a, em_a):
+                    cand = PairedPlan(S_c, S_a, 0, 0.0, Eb_c, Eb_a)
+                    a_slots, b_slots = _fold_pair(idx, ds, cand)
+                    n_regions = len(a_slots)
+                    f = float((b_slots >= 0).sum()) / max(n_regions, 1)
+                    cost = (S_c + S_a + w * (Eb_c + Eb_a)) / (1.0 + f)
+                    if best is None or cost < best[0]:
+                        best = (cost, S_c, S_a, f, Eb_c, Eb_a)
+    unpaired_cost = float(p_c + p_a + w * (em_c + em_a))
     if best is None or best[0] >= unpaired_cost * 0.999:
         return None
-    _, S_c, S_a, f = best
+    _, S_c, S_a, f, Eb_c, Eb_a = best
     lcm = np.lcm(W // S_c, W // S_a)
     R = max(int(lcm),
             int(round(batch_size / (1.0 + f) / lcm)) * int(lcm))
-    return PairedPlan(S_c, S_a, R, f)
+    return PairedPlan(S_c, S_a, R, f, Eb_c, Eb_a)
 
 
 def build_paired_perm(
@@ -360,9 +400,7 @@ def build_paired_perm(
     gradient is a sum); which records share a batch still follows the
     shuffled order, chunk-wise.
     """
-    ca, an = ds.rec_cat_len, ds.rec_an_len
     R = plan.regions
-    S_c, S_a = plan.region_c, plan.region_a
     out: List[np.ndarray] = []
     order = np.asarray(order, np.int32)
     pos = 0
@@ -371,7 +409,7 @@ def build_paired_perm(
         take = min(2 * R - len(carry), len(order) - pos)
         chunk = np.concatenate([carry, order[pos:pos + take]])
         pos += take
-        a_slots, b_slots = _fold_pair(chunk, ca, an, S_c, S_a)
+        a_slots, b_slots = _fold_pair(chunk, ds, plan)
         if len(a_slots) > R:
             over_a, over_b = a_slots[R:], b_slots[R:]
             carry = np.concatenate([over_a, over_b[over_b >= 0]])
@@ -390,7 +428,7 @@ def build_paired_perm(
 
 
 def _device_batch_paired(ds: DeviceDataset, idx: jnp.ndarray,
-                         region_c: int, region_a: int) -> IonPairBatch:
+                         plan: PairedPlan) -> IonPairBatch:
     """Pack one PAIRED batch on device from ``2R`` slot record indices
     (``-1`` = empty slot; graph ``i`` <-> slot ``i``)."""
     valid = idx >= 0
@@ -404,9 +442,11 @@ def _device_batch_paired(ds: DeviceDataset, idx: jnp.ndarray,
     B2 = int(idx.shape[0])
     return IonPairBatch(
         cation=pack_side_paired(ds.cat_pool, cat_sel[0::2], cat_sel[1::2],
-                                ds.window, region_c),
+                                ds.window, plan.region_c,
+                                edge_budget=plan.edge_budget_c),
         anion=pack_side_paired(ds.an_pool, an_sel[0::2], an_sel[1::2],
-                               ds.window, region_a),
+                               ds.window, plan.region_a,
+                               edge_budget=plan.edge_budget_a),
         temperature=(jnp.where(valid, ds.temperature[safe], 0.0)[:, None]
                      if ds.with_temperature
                      else jnp.zeros((B2, 1), jnp.float32)),
@@ -422,14 +462,13 @@ def make_paired_epoch_call(inner_step, ds: DeviceDataset, plan: PairedPlan,
     indices per step (built by :func:`build_paired_perm` — NOT a plain
     permutation). Same signature/donation/sentinel-cond contract."""
     R, K = plan.regions, steps_per_call
-    S_c, S_a = plan.region_c, plan.region_a
 
     def call(state, ds_arrays, perm, g0):
         local = ds.with_arrays(ds_arrays)
 
         def body(s, k):
             idx = jax.lax.dynamic_slice(perm, (g0 + k * 2 * R,), (2 * R,))
-            batch = _device_batch_paired(local, idx, S_c, S_a)
+            batch = _device_batch_paired(local, idx, plan)
             nk = jnp.sum(batch.sample_mask)
 
             def run(s_):

@@ -169,8 +169,7 @@ def main():
 
             def body(acc, k):
                 idx = jax.lax.dynamic_slice(perm, (g0 + k * 2 * R,), (2 * R,))
-                b = _device_batch_paired(local, idx, pplan.region_c,
-                                         pplan.region_a)
+                b = _device_batch_paired(local, idx, pplan)
                 s = (jnp.sum(b.cation.atom_ids) + jnp.sum(b.anion.atom_ids)
                      + jnp.sum(b.cation.src) + jnp.sum(b.anion.src)
                      + jnp.sum(b.y) + jnp.sum(b.sample_mask))
@@ -193,7 +192,7 @@ def main():
         K = 8
         if arm == "paired-step":
             packb = jax.jit(lambda a, idx: _device_batch_paired(
-                ds.with_arrays(a), idx, pplan.region_c, pplan.region_a))
+                ds.with_arrays(a), idx, pplan))
             batches = [packb(ds.arrays(),
                              jnp.asarray(perm[k * 2 * R:(k + 1) * 2 * R]))
                        for k in range(K)]

@@ -108,7 +108,7 @@ def main():
         R = pplan.regions
         assert len(perm) >= INNER * 2 * R
         packb = jax.jit(lambda a, idx: _device_batch_paired(
-            ds.with_arrays(a), idx, pplan.region_c, pplan.region_a))
+            ds.with_arrays(a), idx, pplan))
         stacked = [
             jax.tree.map(np.asarray,
                          packb(ds.arrays(),

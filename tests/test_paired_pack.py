@@ -144,6 +144,88 @@ def test_pack_side_paired_structural_exactness(encoded_viscosity):
             assert (slots[2 * r + 1] == -1) == (sel_b[r] < 0)
 
 
+def test_pack_side_paired_edge_budget_exactness(encoded_viscosity):
+    """Shared-edge-budget layout (battery 41's tile-alignment fix): A's
+    edges front, B's reversed at the region tail — every graph still
+    reconstructs its pool molecule's exact edge multiset."""
+    records, cfg, model, plan, params = _setup(encoded_viscosity, n=32)
+    ds = build_device_dataset(records, WINDOW, plan.target_key)
+
+    for pool, S in ((ds.cat_pool, ds.cat_pool.pitch),
+                    (ds.an_pool, 2 * ds.an_pool.pitch)):
+        em = pool.em
+        Eb = max(-(-em // 8) * 8, em + 8)  # budget a bit above em
+        M = int(np.asarray(pool.a_len).shape[0])
+        rng = np.random.default_rng(3)
+        R = 8
+        a_len = np.asarray(pool.a_len)
+        e_len = np.asarray(pool.e_len)
+        sel_a = rng.integers(0, M, R).astype(np.int32)
+        sel_b = np.empty(R, np.int32)
+        for i in range(R):
+            fits = np.where((a_len + a_len[sel_a[i]] <= S)
+                            & (e_len + e_len[sel_a[i]] <= Eb))[0]
+            sel_b[i] = rng.choice(fits) if len(fits) else -1
+        sel_b[R - 1] = -1
+
+        g = pack_side_paired(pool, jnp.asarray(sel_a), jnp.asarray(sel_b),
+                             WINDOW, S, edge_budget=Eb)
+        assert g.edge_capacity == R * Eb
+        assert g.edge_capacity % (g.node_capacity // WINDOW) == 0
+        src, dst = np.asarray(g.src), np.asarray(g.dst)
+        bond_ids = np.asarray(g.bond_ids)
+        edge_mask = np.asarray(g.edge_mask)
+
+        for r in range(R):
+            base = r * S
+            t = np.arange(Eb)
+            for p, sel in ((0, sel_a[r]), (1, sel_b[r])):
+                if sel < 0:
+                    continue
+                atoms, edges, bonds = _pool_graph(pool, int(sel))
+                ne = len(edges)
+                if p == 0:
+                    pos = r * Eb + t[:ne]
+                    e_src = src[pos] - base
+                    e_dst = dst[pos] - base
+                else:
+                    pos = r * Eb + t[Eb - ne:]
+                    e_src = (S - 1) - (src[pos] - base)
+                    e_dst = (S - 1) - (dst[pos] - base)
+                assert edge_mask[pos].all()
+                got = _edge_multiset(np.stack([e_src, e_dst], 1),
+                                     bond_ids[pos] - 1)
+                assert got == _edge_multiset(edges, bonds)
+            # slots between the two molecules' edges are masked
+            ea = int(e_len[sel_a[r]]) if sel_a[r] >= 0 else 0
+            eb = int(e_len[sel_b[r]]) if sel_b[r] >= 0 else 0
+            gap = edge_mask[r * Eb + ea: r * Eb + Eb - eb]
+            assert not gap.any()
+
+
+def test_paired_perm_edge_budget_constraints(encoded_viscosity):
+    """With shared edge budgets, build_paired_perm must respect the
+    edge-sum constraints on both sides (and still cover every record)."""
+    records, cfg, model, plan, params = _setup(encoded_viscosity, n=200)
+    ds = build_device_dataset(records, WINDOW, plan.target_key)
+    pplan = choose_paired_plan(ds, batch_size=64)
+    assert pplan is not None
+    assert pplan.edge_budget_c >= ds.cat_pool.em
+    assert pplan.edge_budget_a >= ds.an_pool.em
+    perm = build_paired_perm(
+        ds, np.random.default_rng(0).permutation(ds.n).astype(np.int32),
+        pplan)
+    real = perm[perm >= 0]
+    assert sorted(real.tolist()) == list(range(ds.n))
+    a, b = perm[0::2], perm[1::2]
+    ec, ea = ds.rec_cat_elen, ds.rec_an_elen
+    paired = b >= 0
+    if pplan.edge_budget_c:
+        assert (ec[a[paired]] + ec[b[paired]] <= pplan.edge_budget_c).all()
+    if pplan.edge_budget_a:
+        assert (ea[a[paired]] + ea[b[paired]] <= pplan.edge_budget_a).all()
+
+
 def test_paired_perm_invariants(encoded_viscosity):
     """build_paired_perm: every record exactly once, both-side fit
     constraints hold, singles ride in slot A."""
