@@ -101,6 +101,9 @@ def bench_packed_train_step(
     tile_override: int = 0,  # force edge_tile (>= plan's is always safe)
     balanced: bool = False,  # LPT window balancing (window_aligned only)
     remat: bool = False,  # jax.checkpoint the message op (A/B knob)
+    atom_dim: int = 0,  # 0 = family default (32); the D-scaling arm
+    fp_size: int = 0,  # 0 = atom_dim when atom_dim overridden, else default
+    mixing_size: int = 0,
 ) -> BenchResult:
     from ..data.packing import ONEHOT_WINDOW
 
@@ -111,6 +114,12 @@ def bench_packed_train_step(
         scatter_impl=scatter_impl, onehot_select=onehot_select,
         onehot_window=window, remat_message=remat,
     )
+    if atom_dim:
+        # large-dim scaling arm (VERDICT r4 item 3): the D=32 family uses
+        # <=32 of the 128 MXU lanes; these overrides let the same harness
+        # demonstrate saturation as the model grows
+        kw.update(atom_dim=atom_dim, fp_size=fp_size or atom_dim,
+                  mixing_size=mixing_size or max(20, atom_dim // 2))
     if model_kind == "mp":
         cfg = melting_point_config(vocab.atom_vocab_size, vocab.bond_vocab_size, **kw)
     else:

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Battery 42: large-dim scaling arm (VERDICT r4 item 3).
+
+The D=32 reference family leaves >=3/4 of the 128 MXU lanes idle
+(BENCH_r04 mfu 0.032); this battery runs the SAME fetch-synced step
+protocol as bench.py at atom_dim in {32, 64, 128} (fp_size scaled with
+D) and reports ms/step, edges/s, and analytic-roofline MFU — the
+demonstration that the step formulation saturates the chip as the model
+grows.
+
+Usage: python scripts/tpu_dim_scaling.py [batch] [D ...]
+       (defaults: 2048 and 32 64 128)
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ionic_mpnn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main():
+    args = [int(a) for a in sys.argv[1:]]
+    bs = args[0] if args else 2048
+    dims = args[1:] or [32, 64, 128]
+
+    from ionic_mpnn_tpu.benchmarks import (
+        bench_packed_train_step,
+        make_bench_dataset,
+    )
+    from ionic_mpnn_tpu.benchmarks.roofline import roofline_summary
+    from ionic_mpnn_tpu.config import (
+        resolve_compute_dtype,
+        resolve_onehot_window,
+    )
+
+    records, vocab = make_bench_dataset(max(bs, 512))
+    dtype = resolve_compute_dtype("auto")
+    window = resolve_onehot_window(dtype)
+
+    for D in dims:
+        r = bench_packed_train_step(
+            records, vocab, batch_size=bs, num_steps=4, iters=20, warmup=3,
+            compute_dtype=dtype, message_impl="onehot", inner=8,
+            window=window, atom_dim=0 if D == 32 else D,
+        )
+        roof = roofline_summary(
+            {"flops": r.flops_per_step, "hbm_bytes": r.hbm_bytes_per_step},
+            measured_step_seconds=1.0 / r.steps_per_s,
+        )
+        print(json.dumps({
+            "atom_dim": D, "batch": bs, "dtype": dtype, "window": window,
+            "ms_per_step": round(1e3 / r.steps_per_s, 3),
+            "edges_per_s": round(r.edges_per_s, 1),
+            "mfu": round(roof["mfu"], 5),
+            "hbm_bound_fraction": round(roof["hbm_bound_fraction"], 4),
+            "roofline_headroom": round(roof["roofline_headroom"], 2),
+            "flops_per_step": r.flops_per_step,
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
