@@ -88,6 +88,24 @@ def main() -> int:
                      edge_layout="window_aligned" if layout == "aligned"
                      else "window")
     engine = ScreeningEngine(model, params["params"], vocab, plan)
+    if layout == "factorized":
+        # round-5 item 6: re-adjudicate the sweep default on round-4/5
+        # paths — the factorized number on record (233k steady) is
+        # round-3-era while brute went 92.6k -> 523k across rounds
+        import time as _time
+
+        t0 = _time.perf_counter()
+        report = engine.screen_grid_factorized(
+            cations, anions, temps, top_k=50)
+        wall = _time.perf_counter() - t0
+        print(json.dumps({
+            "mode": "screen-factorized", "dtype": cdtype, "window": win,
+            "n_screened": report.n_screened,
+            "pairs_per_s": round(report.pairs_per_s, 1),
+            "wall_s": round(wall, 2),
+            "top1": report.rows[0].prediction if report.rows else None,
+        }))
+        return 0
     if stub:
         import jax.numpy as jnp
 
