@@ -187,6 +187,7 @@ def make_dp_device_epoch_call(
     model, model_cfg, train_cfg, optimizer, mesh, ds: DeviceDataset,
     batch_size: int, steps_per_call: int,
     data_axis: str = "data", has_batch_stats: bool = False,
+    paired_plan: Optional[PairedPlan] = None,
 ):
     """Data-parallel device-resident epochs (round-4 VERDICT item 3).
 
@@ -204,6 +205,12 @@ def make_dp_device_epoch_call(
     ARGUMENT (never closed over: host-constant closures poison this
     backend, CLAUDE.md) and replicated; ``perm`` must be padded to a
     multiple of ``n_dev·B·K`` with the sentinel ``ds.n``.
+
+    With ``paired_plan`` each device packs PITCH-SLOT PAIRED batches
+    (round 5 — see :func:`make_paired_epoch_call`): the per-device slice
+    is ``2·regions`` slot indices from a :func:`build_paired_perm` array
+    (sentinel ``-1``), padded to a multiple of ``n_dev·2R·K``;
+    ``batch_size`` is ignored in that mode.
     """
     import jax.sharding as shd
     from jax import shard_map
@@ -213,6 +220,8 @@ def make_dp_device_epoch_call(
     P = shd.PartitionSpec
     n_dev = int(mesh.shape[data_axis])
     B, K = batch_size, steps_per_call
+    if paired_plan is not None:
+        B = 2 * paired_plan.regions  # slot width per device-step
     inner = make_per_device_step(model, model_cfg, train_cfg, optimizer,
                                  n_dev, data_axis, has_batch_stats)
 
@@ -223,7 +232,10 @@ def make_dp_device_epoch_call(
         def body(s, k):
             start = g0 + (k * n_dev + d) * B
             idx = jax.lax.dynamic_slice(perm, (start,), (B,))
-            batch = _device_batch(local, idx)
+            if paired_plan is not None:
+                batch = _device_batch_paired(local, idx, paired_plan)
+            else:
+                batch = _device_batch(local, idx)
             n_global = jax.lax.psum(jnp.sum(batch.sample_mask), data_axis)
 
             def run(s_):

