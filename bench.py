@@ -47,6 +47,14 @@ def main() -> int:
                              "8.7x over gather on the v5e relay), gather on CPU")
     parser.add_argument("--model", default="viscosity", choices=["viscosity", "mp"],
                         help="mp = melting-point config (bond_dim=1024)")
+    parser.add_argument("--harness", default="auto",
+                        choices=["auto", "paired", "host"],
+                        help="paired = the PRODUCTION fit() step (on-device "
+                             "pitch-slot paired packing + fwd/bwd/Adam, "
+                             "battery 41 — 2.71 ms at batch 2048 vs 3.4 host);"
+                             " host = the round-1..4 host greedy-packed "
+                             "harness. auto = paired on accelerators for the "
+                             "viscosity/onehot config, host otherwise")
     parser.add_argument("--dense-only", action="store_true",
                         help="internal: measure only the dense reference baseline")
     parser.add_argument("--packed-only", action="store_true",
@@ -93,14 +101,32 @@ def main() -> int:
     import jax as _jax
 
     on_cpu = _jax.devices()[0].platform == "cpu"
+    if args.harness == "auto":
+        args.harness = ("paired" if not on_cpu and args.model == "viscosity"
+                        and args.message_impl == "onehot"
+                        and not args.balance else "host")
     if args.packed_only or on_cpu or args.repeats <= 1:
-        records, vocab = make_bench_dataset(max(args.batch_size, 512))
-        packed = bench_packed_train_step(
-            records, vocab, batch_size=args.batch_size, num_steps=args.num_steps,
-            iters=args.iters, compute_dtype=args.dtype,
-            message_impl=args.message_impl, inner=args.inner, model_kind=args.model,
-            window=args.window, balanced=args.balance,
-        )
+        if args.harness == "paired":
+            from ionic_mpnn_tpu.benchmarks import bench_paired_epoch_step
+
+            records, vocab = make_bench_dataset(
+                max(args.inner * args.batch_size, 512))
+            packed = bench_paired_epoch_step(
+                records, vocab, batch_size=args.batch_size,
+                num_steps=args.num_steps, iters=args.iters,
+                compute_dtype=args.dtype, inner=args.inner,
+                window=args.window,
+            )
+        else:
+            records, vocab = make_bench_dataset(max(args.batch_size, 512))
+            packed = bench_packed_train_step(
+                records, vocab, batch_size=args.batch_size,
+                num_steps=args.num_steps,
+                iters=args.iters, compute_dtype=args.dtype,
+                message_impl=args.message_impl, inner=args.inner,
+                model_kind=args.model,
+                window=args.window, balanced=args.balance,
+            )
         if args.packed_only:
             print(json.dumps({
                 "edges_per_s": packed.edges_per_s,
@@ -122,7 +148,8 @@ def main() -> int:
                  "--num-steps", str(args.num_steps),
                  "--iters", str(args.iters), "--inner", str(args.inner),
                  "--dtype", args.dtype, "--message-impl", args.message_impl,
-                 "--model", args.model, "--window", str(args.window)]
+                 "--model", args.model, "--window", str(args.window),
+                 "--harness", args.harness]
                 + (["--balance"] if args.balance else []),
                 capture_output=True, text=True, timeout=2400,
             )
@@ -147,6 +174,7 @@ def main() -> int:
         "batch_size": args.batch_size,
         "num_steps": args.num_steps,
         "model": args.model,
+        "harness": args.harness,
         "message_impl": args.message_impl,
         "compute_dtype": args.dtype,
         "onehot_window": args.window,
