@@ -49,6 +49,10 @@ def main() -> int:
     ap.add_argument("--device-epochs", default="auto",
                     choices=["auto", "on", "off"],
                     help="device-resident epochs (A/B isolation flag)")
+    ap.add_argument("--paired-epochs", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="pitch-slot paired device packing (round 5, "
+                         "battery 41; auto = on whenever device epochs run)")
     ap.add_argument("--normalize-y", action="store_true",
                     help="z-score log_eta on train stats (de-normalized at "
                          "eval, normalizer persisted — the MP task's "
@@ -108,6 +112,8 @@ def main() -> int:
         steps_per_call=args.steps_per_call,
         device_epochs={"auto": "auto", "on": True, "off": False}[
             args.device_epochs],
+        paired_epochs={"auto": "auto", "on": True, "off": False}[
+            args.paired_epochs],
         warmup_steps=0 if args.parity_mode else args.warmup,
         normalize_y=args.normalize_y and not args.parity_mode,
     )
