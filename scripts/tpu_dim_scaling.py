@@ -8,8 +8,12 @@ D) and reports ms/step, edges/s, and analytic-roofline MFU — the
 demonstration that the step formulation saturates the chip as the model
 grows.
 
-Usage: python scripts/tpu_dim_scaling.py [batch] [D ...]
-       (defaults: 2048 and 32 64 128)
+Usage: python scripts/tpu_dim_scaling.py [batch] [D[:impl] ...]
+       (defaults: 2048 and 32 64 128; impl in onehot|gather|symmetric|typed
+        — the one-hot formulation pays V× redundant select FLOPs, free at
+        D=32 where the MXU idles, dominant at D=128: mfu capped near 1/V.
+        Row-gather cost on this backend is ~width-independent (battery
+        30), so gather-class impls amortize at large D.)
 """
 
 import json
@@ -24,9 +28,16 @@ enable_compilation_cache()
 
 
 def main():
-    args = [int(a) for a in sys.argv[1:]]
-    bs = args[0] if args else 2048
-    dims = args[1:] or [32, 64, 128]
+    args = sys.argv[1:]
+    bs = int(args[0]) if args and args[0].isdigit() else 2048
+    rest = args[1:] if args and args[0].isdigit() else args
+    dims = []
+    for a in (rest or ["32", "64", "128"]):
+        if ":" in a:
+            d, impl = a.split(":")
+            dims.append((int(d), impl))
+        else:
+            dims.append((int(a), "onehot"))
 
     from ionic_mpnn_tpu.benchmarks import (
         bench_packed_train_step,
@@ -42,18 +53,22 @@ def main():
     dtype = resolve_compute_dtype("auto")
     window = resolve_onehot_window(dtype)
 
-    for D in dims:
+    from ionic_mpnn_tpu.config import edge_layout_for
+
+    for D, impl in dims:
         r = bench_packed_train_step(
             records, vocab, batch_size=bs, num_steps=4, iters=20, warmup=3,
-            compute_dtype=dtype, message_impl="onehot", inner=8,
+            compute_dtype=dtype, message_impl=impl, inner=8,
             window=window, atom_dim=0 if D == 32 else D,
+            edge_layout=edge_layout_for(impl),
         )
         roof = roofline_summary(
             {"flops": r.flops_per_step, "hbm_bytes": r.hbm_bytes_per_step},
             measured_step_seconds=1.0 / r.steps_per_s,
         )
         print(json.dumps({
-            "atom_dim": D, "batch": bs, "dtype": dtype, "window": window,
+            "atom_dim": D, "impl": impl, "batch": bs, "dtype": dtype,
+            "window": window,
             "ms_per_step": round(1e3 / r.steps_per_s, 3),
             "edges_per_s": round(r.edges_per_s, 1),
             "mfu": round(roof["mfu"], 5),

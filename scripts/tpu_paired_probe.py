@@ -12,6 +12,11 @@ repeats cheap):
                   (isolates step cost from the on-device pack)
   host-step       train step on 8 stacked host greedy-packed batches
                   (the bench.py reference harness, ~2.98 ms at batch 2048)
+  accum-step      GRADIENT-ACCUMULATION workaround for the nw efficiency
+                  cliff (AXON 4d): effective batch 2·B as two paired
+                  B-chunks (grads summed, one Adam step) — prices
+                  optimizer-batch 4096 at ~2× the 2048 chunk cost instead
+                  of the cliff's superlinear single-batch cost
 
 All arrays ride as jit ARGUMENTS (closure poison, CLAUDE.md); timing is
 fetch-synced (np.asarray of outputs that depend on the full chain).
@@ -185,6 +190,63 @@ def main():
         sec = _fetch_time(run)
         stats.update(epoch_s=round(sec, 4),
                      ms_per_step=round(1e3 * sec / steps, 3), n_steps=steps)
+
+    elif arm == "accum-step":
+        import optax
+
+        from ionic_mpnn_tpu.training.device_epochs import _device_batch_paired
+        from ionic_mpnn_tpu.training.loop import _data_loss, _l2_penalty
+
+        K = 8  # 8 chunks -> 4 effective 2B-batch optimizer steps
+        packb = jax.jit(lambda a, idx: _device_batch_paired(
+            ds.with_arrays(a), idx, pplan))
+        batches = [packb(ds.arrays(),
+                         jnp.asarray(perm[k * 2 * R:(k + 1) * 2 * R]))
+                   for k in range(K)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+        def loss_fn(p, b):
+            out = model.apply({"params": p}, b, deterministic=True)
+            return (_data_loss(out["pred"], b.y, b.sample_mask, "mse", 1.0)
+                    + _l2_penalty(p, cfg.fp_l2))
+
+        @jax.jit
+        def multi(state, batches):
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+
+            def body(carry, xs):
+                s, acc = carry
+                k, b = xs
+                loss, g = jax.value_and_grad(loss_fn)(s.params, b)
+                acc = jax.tree.map(jnp.add, acc, g)
+
+                def apply_now(args):
+                    s_, a_ = args
+                    a_ = jax.tree.map(lambda x: x * 0.5, a_)
+                    updates, new_opt = opt.update(a_, s_.opt_state, s_.params)
+                    return (s_.replace(
+                        params=optax.apply_updates(s_.params, updates),
+                        opt_state=new_opt, step=s_.step + 1), zeros)
+
+                s, acc = jax.lax.cond(k % 2 == 1, apply_now,
+                                      lambda args: args, (s, acc))
+                return (s, acc), loss
+
+            (state, _), losses = jax.lax.scan(
+                body, (state, zeros),
+                (jnp.arange(K, dtype=jnp.int32), batches))
+            return state, losses
+
+        state = fresh_state()
+
+        def run():
+            nonlocal state
+            state, losses = multi(state, stacked)
+            return losses
+
+        sec = _fetch_time(run)
+        stats.update(ms_per_chunk=round(1e3 * sec / K, 3),
+                     ms_per_effective_4096_step=round(2e3 * sec / K, 3))
 
     elif arm in ("paired-step", "host-step"):
         from ionic_mpnn_tpu.training.device_epochs import _device_batch_paired
