@@ -103,7 +103,8 @@ def main() -> int:
             "n_screened": report.n_screened,
             "pairs_per_s": round(report.pairs_per_s, 1),
             "wall_s": round(wall, 2),
-            "top1": report.rows[0].prediction if report.rows else None,
+            "top1": (report.results[0].prediction
+                     if report.results else None),
         }))
         return 0
     if stub:
