@@ -425,6 +425,7 @@ class ScreeningEngine:
         device_pack: bool = True,
         steps_per_call: int = 8,
         per_side_caps: bool = True,
+        lane_aligned_tiles: bool = True,
     ) -> "SweepReport":
         """Sweep the full cation x anion x T grid; returns the global top-k.
 
@@ -433,6 +434,13 @@ class ScreeningEngine:
         anion pool's OWN statistics instead of the shared cation-or-max
         caps — same argument as the train step's per-side capacities
         (battery 27). ``False`` restores the shared sizing (A/B control).
+
+        ``lane_aligned_tiles`` (default) rounds the aligned device pools'
+        per-molecule edge capacity so the implicit per-window edge tile
+        (``(window//pitch)·em``) is a 128-LANE multiple — battery 41
+        found misaligned tiles run the batched one-hot matmuls ~2.4×
+        slower than the padding they avoid (AXON findings 4e). ``False``
+        keeps the tight ``em`` (A/B control).
 
         Default path (``device_pack=True``): the unique-ion pools are
         uploaded to the device ONCE and every batch is reconstructed
@@ -570,6 +578,7 @@ class ScreeningEngine:
             return self._screen_grid_device(
                 cat_pool, an_pool, temps, plan, top_k, k_batch, minimize,
                 max(1, int(steps_per_call)), progress_every,
+                lane_aligned_tiles=lane_aligned_tiles,
             )
         topk_fn = self._device_topk(k_batch, minimize)
 
@@ -946,6 +955,7 @@ class ScreeningEngine:
         minimize: bool,
         K: int,
         progress_every: int,
+        lane_aligned_tiles: bool = True,
     ) -> "SweepReport":
         """Device-resident sweep: pools uploaded once, batches rebuilt on
         device from a scalar grid offset, K batches per dispatch."""
@@ -1005,11 +1015,22 @@ class ScreeningEngine:
         # of per-element gathers — the element-gather pack measured 91.5
         # ms/batch at batch 4096, ~20× the forward (battery 30)
         aligned = plan.edge_layout == "window_aligned"
+
+        def _em_mult(p):
+            # lane-align the implicit pack_side_padded tile (gpw·em):
+            # em must be a multiple of 128·pitch/window (AXON 4e)
+            if not (aligned and lane_aligned_tiles and p):
+                return 1
+            return max(1, (128 * p) // plan.window)
+
         cat_d = device_pool(cat_pool, duplicate_edges=plan.duplicate_edges,
-                            pitch=plan.pitch if aligned else 0)
+                            pitch=plan.pitch if aligned else 0,
+                            em_multiple=_em_mult(plan.pitch))
         an_d = device_pool(an_pool, duplicate_edges=plan.duplicate_edges,
                            pitch=(plan.anion_pitch or plan.pitch)
-                           if aligned else 0)
+                           if aligned else 0,
+                           em_multiple=_em_mult(plan.anion_pitch
+                                                or plan.pitch))
         temps_d = jnp.asarray(temps, jnp.float32)
 
         heap: List[Tuple[float, int]] = []  # (score, gid); score: higher=better

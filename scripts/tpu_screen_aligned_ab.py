@@ -44,6 +44,8 @@ def main() -> int:
     layout = layout.removesuffix("-stub")
     per_side = not layout.endswith("-shared")
     layout = layout.removesuffix("-shared")
+    lane = not layout.endswith("-noalign")  # battery 45 A/B control
+    layout = layout.removesuffix("-noalign")
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
     dtype = sys.argv[4] if len(sys.argv) > 4 else "auto"  # auto|float32|bfloat16
@@ -127,11 +129,12 @@ def main() -> int:
     report = engine.screen_grid(
         cations, anions, temps, top_k=50,
         device_pack=True, steps_per_call=8, progress_every=500_000,
-        per_side_caps=per_side,
+        per_side_caps=per_side, lane_aligned_tiles=lane,
     )
     print(json.dumps({
         "mode": f"screen-{layout}" + ("" if per_side else "-shared")
-                + ("-stub" if stub else ""),
+                + ("-stub" if stub else "")
+                + ("" if lane else "-noalign"),
         "dtype": cdtype, "window": win,
         "n_screened": report.n_screened,
         "pairs_per_s": round(report.pairs_per_s, 1),
