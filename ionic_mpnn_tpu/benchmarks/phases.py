@@ -94,6 +94,8 @@ def _encoder(
             h.astype(dtype), g.bond_ids, g.src, g.dst, m_table, g.edge_mask,
             window=cfg.onehot_window, halo=g.edge_layout != "window_aligned",
             select=select,
+            bond_transform=w.astype(dtype),
+            bond_embed=bond_table.astype(dtype),
         )
         if i < n_gru:
             # matches the flax module: bf16 configs run the GRU dense

@@ -107,7 +107,10 @@ class ModelConfig:
     # typed-select formulation inside the onehot impl: "vloop" (V masked
     # (E, D) @ (D, D) accumulations — no (E, V·D) intermediate; fastest
     # measured, battery 24: 11.89 vs 13.45 ms/step f32 at batch 2048) |
-    # "lanes" (one (E, D) @ (D, V·D) matmul + one-hot reduce) | "auto"
+    # "lanes" (one (E, D) @ (D, V·D) matmul + one-hot reduce) | "basis"
+    # (contract over the F=bond_dim embedding basis instead of the V
+    # vocab lanes — F× redundant FLOPs instead of V×; the large-atom_dim
+    # MFU fix when F < V, battery 42) | "auto"
     # (default): vloop while bond_vocab+1 <= ops.message.VLOOP_MAX_TYPES
     # (33), lanes beyond — vloop's program size/compile time grow linearly
     # with the vocab (measured 0.5 s -> 9.8 s per op from V=9 to V=257)

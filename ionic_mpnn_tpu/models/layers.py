@@ -128,7 +128,13 @@ class BondMatrixMessage(nn.Module):
                     "(edge_layout='window_aligned'); got a halo batch — "
                     "see parallel/aligned_partition.py"
                 )
-            op = message_pass_aggregate_onehot
+            # basis select contracts over the raw (F, D, D) transform +
+            # embedding instead of the (V, D, D) table — pass both as
+            # ARGS (traced values; see ops.message select='basis')
+            basis_kw = dict(
+                bond_transform=w.astype(self.compute_dtype),
+                bond_embed=bond_table.astype(self.compute_dtype),
+            )
             if self.remat:
                 import functools
 
@@ -136,11 +142,13 @@ class BondMatrixMessage(nn.Module):
                     message_pass_aggregate_onehot,
                     window=self.window, halo=self.halo, select=self.select,
                 ))
-                agg = op(h, bond_ids, src, dst, m_table, edge_mask)
+                agg = op(h, bond_ids, src, dst, m_table, edge_mask,
+                         **basis_kw)
             else:
-                agg = op(
+                agg = message_pass_aggregate_onehot(
                     h, bond_ids, src, dst, m_table, edge_mask,
                     window=self.window, halo=self.halo, select=self.select,
+                    **basis_kw,
                 )
         elif self.impl == "typed":
             agg = message_pass_aggregate_typed(h, bond_ids, src, dst, m_table, edge_mask)

@@ -33,6 +33,7 @@ The parity quirk (edges touching each molecule's atom 0 silently dropped,
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -255,8 +256,10 @@ def message_pass_aggregate_onehot(
     edge_mask: jnp.ndarray,  # (nw·T,) bool
     window: int = 128,
     halo: bool = True,
-    select: str = "lanes",  # "lanes" | "vloop" | "auto" (same math; see
-    #                          resolve_onehot_select for the auto rule)
+    select: str = "lanes",  # "lanes" | "vloop" | "basis" | "auto" (same
+    #                          math; see resolve_onehot_select)
+    bond_transform: Optional[jnp.ndarray] = None,  # (F, D, D), basis only
+    bond_embed: Optional[jnp.ndarray] = None,  # (V, F), basis only
 ) -> jnp.ndarray:
     """All-MXU message + aggregate: zero gathers, zero scatters.
 
@@ -330,7 +333,26 @@ def message_pass_aggregate_onehot(
         preferred_element_type=jnp.float32,
     ).astype(dtype)
 
-    if select == "vloop":
+    if select == "basis":
+        # contract over the BOND-EMBEDDING basis instead of the vocab:
+        #   m_e = Σ_f b_ef (W_f hs_e),  b = onehot(bond) @ embed (E, F)
+        # — same math as lanes (M_v = Σ_f embed[v,f] W_f, different
+        # association), but the big matmul is (E, D) @ (D, F·D): F× the
+        # useful FLOPs instead of V×. Wins whenever F < V (viscosity
+        # family: F=8 vs V≈13) — at large D the select term dominates the
+        # step, so this directly raises the MFU ceiling (battery 42).
+        if bond_transform is None or bond_embed is None:
+            raise ValueError("select='basis' needs bond_transform (F, D, D)"
+                             " and bond_embed (V, F)")
+        F = bond_transform.shape[0]
+        # Kb[j, f·D+i] = W[f, i, j] ⇒ (hs @ Kb)[e, f·D+i] = (W_f hs_e)[i]
+        Kb = bond_transform.transpose(2, 0, 1).reshape(D, F * D).astype(dtype)
+        X = jnp.dot(hs.reshape(E, D), Kb, preferred_element_type=jnp.float32)
+        o_bond = jax.nn.one_hot(bond_ids, V, dtype=X.dtype)
+        b = jnp.dot(o_bond, bond_embed.astype(X.dtype),
+                    preferred_element_type=jnp.float32)  # (E, F)
+        m = jnp.einsum("efd,ef->ed", X.reshape(E, F, D), b).astype(dtype)
+    elif select == "vloop":
         # per-type accumulation: V masked (E, D) @ (D, D) matmuls; never
         # materializes the (E, V·D) lane stack (A/B alternative for
         # backends where the stacked intermediate hits HBM)

@@ -66,6 +66,11 @@ def main():
     argv = sys.argv[1:]
     paired = "--paired" in argv
     argv = [a for a in argv if a != "--paired"]
+    dim = 0
+    if "--dim" in argv:
+        i = argv.index("--dim")
+        dim = int(argv[i + 1])
+        del argv[i:i + 2]
     bs = int(argv[0]) if argv and argv[0].isdigit() else 2048
     variants = [a for a in argv if not a.isdigit()] or list(ALL)
     unknown = set(variants) - set(ALL)
@@ -80,9 +85,12 @@ def main():
 
     window = 64
     records, vocab = make_bench_dataset(max(bs, 512))
+    dim_kw = ({"atom_dim": dim, "fp_size": dim,
+               "mixing_size": max(20, dim // 2)} if dim else {})
     cfg = viscosity_config(
         vocab.atom_vocab_size, vocab.bond_vocab_size,
         compute_dtype="bfloat16", message_impl="onehot", onehot_window=window,
+        **dim_kw,
     )
     plan = plan_capacities(records, batch_size=bs,
                            edge_layout="window_aligned", window=window)

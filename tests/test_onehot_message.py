@@ -366,6 +366,64 @@ def test_onehot_vloop_select_matches_lanes(data, plan_a):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_onehot_basis_select_matches_lanes(data, plan_a):
+    """select='basis' (contract over the F=8 embedding basis instead of V
+    lanes — the large-D MFU fix, battery 42) must be value- AND grad-
+    equal to lanes (same math, different association)."""
+    records, vocab = data
+    g = next(iter_batches(records, plan_a)).cation
+    rng = np.random.default_rng(4)
+    h = jnp.asarray(rng.normal(size=(g.node_capacity, 32)).astype(np.float32))
+    V = vocab.bond_vocab_size + 1
+    table = jnp.asarray(rng.normal(size=(V, 8)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(8, 32, 32)) * 0.2).astype(np.float32))
+    m_table = bond_type_matrices(table, w)
+    args = (jnp.asarray(g.bond_ids), jnp.asarray(g.src), jnp.asarray(g.dst),
+            m_table, jnp.asarray(g.edge_mask))
+    a = message_pass_aggregate_onehot(h, *args, window=plan_a.window,
+                                      halo=False, select="lanes")
+    b = message_pass_aggregate_onehot(h, *args, window=plan_a.window,
+                                      halo=False, select="basis",
+                                      bond_transform=w, bond_embed=table)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(hh, which, kw):
+        out = message_pass_aggregate_onehot(
+            hh, *args, window=plan_a.window, halo=False, select=which, **kw)
+        return jnp.sum(out ** 2)
+
+    ga = jax.grad(loss)(h, "lanes", {})
+    gb = jax.grad(loss)(h, "basis",
+                        {"bond_transform": w, "bond_embed": table})
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               rtol=1e-3, atol=1e-4)
+
+    # missing basis operands raise loudly
+    with np.testing.assert_raises(ValueError):
+        message_pass_aggregate_onehot(h, *args, window=plan_a.window,
+                                      halo=False, select="basis")
+
+
+def test_model_basis_select_matches_lanes(data, plan_a):
+    """Full model with onehot_select='basis' == 'lanes' predictions."""
+    from ionic_mpnn_tpu.config import viscosity_config
+    from ionic_mpnn_tpu.models import ViscosityModel
+
+    records, vocab = data
+    batch = next(iter_batches(records, plan_a))
+    base = viscosity_config(vocab.atom_vocab_size, vocab.bond_vocab_size,
+                            message_impl="onehot",
+                            onehot_window=plan_a.window)
+    m_lanes = ViscosityModel(base.replace(onehot_select="lanes"))
+    m_basis = ViscosityModel(base.replace(onehot_select="basis"))
+    variables = m_lanes.init(jax.random.PRNGKey(0), batch)
+    p1 = m_lanes.apply(variables, batch, deterministic=True)["pred"]
+    p2 = m_basis.apply(variables, batch, deterministic=True)["pred"]
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_resolve_onehot_select_guard():
     """vloop auto-falls back to lanes above the compile-cost cap
     (measured: vloop program size/compile time grow linearly with the
