@@ -56,11 +56,13 @@ def main():
     from ionic_mpnn_tpu.config import edge_layout_for
 
     for D, impl in dims:
+        msg_impl = "onehot" if impl == "basis" else impl
         r = bench_packed_train_step(
             records, vocab, batch_size=bs, num_steps=4, iters=20, warmup=3,
-            compute_dtype=dtype, message_impl=impl, inner=8,
+            compute_dtype=dtype, message_impl=msg_impl, inner=8,
             window=window, atom_dim=0 if D == 32 else D,
-            edge_layout=edge_layout_for(impl),
+            edge_layout=edge_layout_for(msg_impl),
+            onehot_select="basis" if impl == "basis" else "auto",
         )
         roof = roofline_summary(
             {"flops": r.flops_per_step, "hbm_bytes": r.hbm_bytes_per_step},
