@@ -33,11 +33,11 @@ def main():
     rest = args[1:] if args and args[0].isdigit() else args
     dims = []
     for a in (rest or ["32", "64", "128"]):
-        if ":" in a:
-            d, impl = a.split(":")
-            dims.append((int(d), impl))
-        else:
-            dims.append((int(a), "onehot"))
+        parts = a.split(":")
+        d = int(parts[0])
+        impl = parts[1] if len(parts) > 1 else "onehot"
+        win = int(parts[2]) if len(parts) > 2 else 0  # 0 = auto
+        dims.append((d, impl, win))
 
     from ionic_mpnn_tpu.benchmarks import (
         bench_packed_train_step,
@@ -55,12 +55,12 @@ def main():
 
     from ionic_mpnn_tpu.config import edge_layout_for
 
-    for D, impl in dims:
+    for D, impl, win in dims:
         msg_impl = "onehot" if impl == "basis" else impl
         r = bench_packed_train_step(
             records, vocab, batch_size=bs, num_steps=4, iters=20, warmup=3,
             compute_dtype=dtype, message_impl=msg_impl, inner=8,
-            window=window, atom_dim=0 if D == 32 else D,
+            window=win or window, atom_dim=0 if D == 32 else D,
             edge_layout=edge_layout_for(msg_impl),
             onehot_select="basis" if impl == "basis" else "auto",
         )
