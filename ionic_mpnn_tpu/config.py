@@ -60,12 +60,19 @@ def resolve_compute_dtype(dtype: str = "auto") -> str:
     return "bfloat16" if jax.devices()[0].platform != "cpu" else "float32"
 
 
-def resolve_onehot_window(compute_dtype: str, window: int = 0) -> int:
-    """Production onehot node window: 64 for bf16 (halved one-hot
-    operands measured 9.56 vs 10.76 ms/step at batch 2048, battery 25),
-    128 otherwise (f32 showed no w64 win). Explicit ``window`` wins."""
+def resolve_onehot_window(compute_dtype: str, window: int = 0,
+                          atom_dim: int = 32) -> int:
+    """Production onehot node window: 64 for bf16 at the reference
+    D=32 (halved one-hot operands measured 9.56 vs 10.76 ms/step at
+    batch 2048, battery 25), 128 otherwise (f32 showed no w64 win).
+    Above D=32 the tradeoff flips — the window-count cost (AXON 4d)
+    dominates the per-window one-hot width, measured w128 1.43x faster
+    than w64 at D=64 and 1.23x at D=128 (battery 42 pt 2) — so large-dim
+    configs default to 128. Explicit ``window`` wins."""
     if window:
         return window
+    if atom_dim > 32:
+        return 128
     return 64 if compute_dtype == "bfloat16" else 128
 
 

@@ -51,26 +51,36 @@ def main():
 
     records, vocab = make_bench_dataset(max(bs, 512))
     dtype = resolve_compute_dtype("auto")
-    window = resolve_onehot_window(dtype)
 
     from ionic_mpnn_tpu.config import edge_layout_for
 
     for D, impl, win in dims:
         msg_impl = "onehot" if impl == "basis" else impl
-        r = bench_packed_train_step(
-            records, vocab, batch_size=bs, num_steps=4, iters=20, warmup=3,
-            compute_dtype=dtype, message_impl=msg_impl, inner=8,
-            window=win or window, atom_dim=0 if D == 32 else D,
-            edge_layout=edge_layout_for(msg_impl),
-            onehot_select="basis" if impl == "basis" else "auto",
-        )
+        try:
+            r = bench_packed_train_step(
+                records, vocab, batch_size=bs, num_steps=4, iters=20, warmup=3,
+                compute_dtype=dtype, message_impl=msg_impl, inner=8,
+                window=win or resolve_onehot_window(dtype, atom_dim=D),
+                atom_dim=0 if D == 32 else D,
+                edge_layout=edge_layout_for(msg_impl),
+                onehot_select="basis" if impl == "basis" else "auto",
+            )
+        except Exception as e:  # one arm failing (e.g. HBM OOM) shouldn't
+            # kill the battery — D=128 gather needs a 30 GB (E, D, D)
+            # per-edge-matrix temp and legitimately cannot compile
+            print(json.dumps({
+                "atom_dim": D, "impl": impl, "batch": bs,
+                "window": win or resolve_onehot_window(dtype, atom_dim=D),
+                "error": str(e).splitlines()[0][:200],
+            }), flush=True)
+            continue
         roof = roofline_summary(
             {"flops": r.flops_per_step, "hbm_bytes": r.hbm_bytes_per_step},
             measured_step_seconds=1.0 / r.steps_per_s,
         )
         print(json.dumps({
             "atom_dim": D, "impl": impl, "batch": bs, "dtype": dtype,
-            "window": window,
+            "window": win or resolve_onehot_window(dtype, atom_dim=D),
             "ms_per_step": round(1e3 / r.steps_per_s, 3),
             "edges_per_s": round(r.edges_per_s, 1),
             "mfu": round(roof["mfu"], 5),

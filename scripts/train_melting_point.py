@@ -74,7 +74,7 @@ def main() -> int:
 
     impl = resolve_message_impl(args.message_impl)
     dtype = resolve_compute_dtype(args.dtype)
-    window = resolve_onehot_window(dtype, args.window)
+    window = resolve_onehot_window(dtype, args.window, atom_dim=args.atom_dim)
     cfg = melting_point_config(
         vocab.atom_vocab_size, vocab.bond_vocab_size,
         atom_dim=args.atom_dim, num_steps=args.num_steps, parity_mode=args.parity_mode,

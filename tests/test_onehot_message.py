@@ -192,6 +192,21 @@ def test_resolve_message_impl_auto():
     assert edge_layout_for("gather") == "sorted"
 
 
+def test_resolve_onehot_window_dim_aware():
+    """Window auto-rule: 64 only for bf16 at the reference D=32; large-dim
+    configs take 128 (battery 42 pt 2: w128 1.43x faster at D=64, 1.23x at
+    D=128 — window COUNT dominates per-window one-hot width, AXON 4d).
+    Explicit window always wins."""
+    from ionic_mpnn_tpu.config import resolve_onehot_window
+
+    assert resolve_onehot_window("bfloat16") == 64
+    assert resolve_onehot_window("float32") == 128
+    assert resolve_onehot_window("bfloat16", atom_dim=64) == 128
+    assert resolve_onehot_window("bfloat16", atom_dim=128) == 128
+    assert resolve_onehot_window("float32", atom_dim=64) == 128
+    assert resolve_onehot_window("bfloat16", 32, atom_dim=128) == 32
+
+
 # ---------------------------------------------------------------------------
 # window_ALIGNED layout (no molecule straddles a window; onehot runs halo-free)
 # ---------------------------------------------------------------------------
