@@ -66,13 +66,15 @@ def resolve_onehot_window(compute_dtype: str, window: int = 0,
     D=32 (halved one-hot operands measured 9.56 vs 10.76 ms/step at
     batch 2048, battery 25), 128 otherwise (f32 showed no w64 win).
     Above D=32 the tradeoff flips — the window-count cost (AXON 4d)
-    dominates the per-window one-hot width, measured w128 1.43x faster
-    than w64 at D=64 and 1.23x at D=128 (battery 42 pt 2) — so large-dim
-    configs default to 128. Explicit ``window`` wins."""
+    dominates the per-window one-hot width even though o_src FLOPs grow
+    linearly in W; measured at batch 2048 (battery 42 pt 2):
+    D=64 w64/128/256/512 = 11.06/7.71/6.48/6.29 ms,
+    D=128 = 25.06/20.31/19.20/18.99 ms — the knee is ~256, so large-dim
+    configs default to 256. Explicit ``window`` wins."""
     if window:
         return window
     if atom_dim > 32:
-        return 128
+        return 256
     return 64 if compute_dtype == "bfloat16" else 128
 
 

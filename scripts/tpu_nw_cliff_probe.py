@@ -108,6 +108,32 @@ def make_chunk_fn(chunk):
     return fn
 
 
+def make_unroll_fn(chunk):
+    # chunked WITHOUT loop machinery: a Python-unrolled slice loop — same
+    # per-matmul shapes as chunk:, zero lax.map/while overhead. Isolates
+    # "is the superlinear cost per-matmul-call size?" from loop cost.
+    def fn(o, h):
+        nw = o.shape[0]
+        k = nw // chunk
+
+        def body(c, _):
+            outs = []
+            for i in range(k):
+                oc = jax.lax.dynamic_slice_in_dim(o, i * chunk, chunk, 0)
+                hc = jax.lax.dynamic_slice_in_dim(c, i * chunk, chunk, 0)
+                y = jnp.einsum("wts,wsd->wtd", oc, hc,
+                               preferred_element_type=jnp.float32).astype(hc.dtype)
+                outs.append(jnp.einsum("wtn,wtd->wnd", oc, y,
+                                       preferred_element_type=jnp.float32).astype(hc.dtype))
+            c2 = jnp.concatenate(outs, axis=0)
+            return c2 * (0.125 / W), ()
+
+        c, _ = jax.lax.scan(body, h, None, length=K)
+        return c, jnp.sum(c.astype(jnp.float32))
+
+    return fn
+
+
 def main():
     args = sys.argv[1:] or [
         "plain:512", "plain:1024", "plain:2048", "plain:4096",
@@ -124,6 +150,10 @@ def main():
             nw, c = int(parts[1]), int(parts[2])
             o, h = make_operands(nw)
             run("chunk", make_chunk_fn(c), o, h, nw, chunk=c)
+        elif parts[0] == "unroll":
+            nw, c = int(parts[1]), int(parts[2])
+            o, h = make_operands(nw)
+            run("unroll", make_unroll_fn(c), o, h, nw, chunk=c)
         else:
             raise SystemExit(f"unknown arm {a}")
     return 0

@@ -194,16 +194,16 @@ def test_resolve_message_impl_auto():
 
 def test_resolve_onehot_window_dim_aware():
     """Window auto-rule: 64 only for bf16 at the reference D=32; large-dim
-    configs take 128 (battery 42 pt 2: w128 1.43x faster at D=64, 1.23x at
-    D=128 — window COUNT dominates per-window one-hot width, AXON 4d).
-    Explicit window always wins."""
+    configs take 256 (battery 42 pt 2: D=64 w64→w256 = 11.06→6.48 ms,
+    D=128 25.06→19.20 — window COUNT dominates per-window one-hot width,
+    AXON 4d; w512 is flat). Explicit window always wins."""
     from ionic_mpnn_tpu.config import resolve_onehot_window
 
     assert resolve_onehot_window("bfloat16") == 64
     assert resolve_onehot_window("float32") == 128
-    assert resolve_onehot_window("bfloat16", atom_dim=64) == 128
-    assert resolve_onehot_window("bfloat16", atom_dim=128) == 128
-    assert resolve_onehot_window("float32", atom_dim=64) == 128
+    assert resolve_onehot_window("bfloat16", atom_dim=64) == 256
+    assert resolve_onehot_window("bfloat16", atom_dim=128) == 256
+    assert resolve_onehot_window("float32", atom_dim=64) == 256
     assert resolve_onehot_window("bfloat16", 32, atom_dim=128) == 32
 
 
