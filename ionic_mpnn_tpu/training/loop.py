@@ -20,6 +20,7 @@ is one jitted function, donated, and works unchanged under pjit/shard_map
 from __future__ import annotations
 
 import functools
+import sys
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
@@ -728,6 +729,13 @@ def fit(
             extra_arrays=extra_arrays,
         )
 
+    # IONIC_FIT_TIMERS=1: per-epoch segment breakdown (dispatch / loss
+    # fetch / dev eval / bookkeeping) on stderr — the link-overhead
+    # attribution tool behind battery 46's permutation prefetch.
+    import os as _os
+
+    timers = _os.environ.get("IONIC_FIT_TIMERS") == "1"
+
     try:
         for epoch in range(start_epoch, train_cfg.epochs + 1):
             epochs_run = epoch
@@ -753,6 +761,7 @@ def fit(
                         group = []
                 if group:
                     _run_group(group)
+            t_disp = time.time()
             w = np.asarray(ns)
             # stack per-group device scalars into ONE array before the
             # fetch: device_get of a list costs one tunnel round trip per
@@ -762,6 +771,7 @@ def fit(
             else:
                 losses_h = np.asarray(jax.device_get(losses))
             train_loss = float(np.average(losses_h, weights=w))
+            t_fetch = time.time()
 
             # dispatch every dev batch, then fetch ONCE: a device_get per
             # batch costs one tunnel round trip each (~ms-scale on the
@@ -773,6 +783,13 @@ def fit(
             val_n = sum(float(o["n"]) for o in outs)
             reg = float(outs[-1]["reg"]) if outs else 0.0
             val_loss = val_sum / max(val_n, 1.0) + reg
+            t_eval = time.time()
+            if timers:
+                print(f"[fit-timers] epoch {epoch}: "
+                      f"dispatch {t_disp - t0:.3f}s "
+                      f"loss_fetch(sync) {t_fetch - t_disp:.3f}s "
+                      f"dev_eval {t_eval - t_fetch:.3f}s",
+                      file=sys.stderr)
 
             history["loss"].append(train_loss)
             history["val_loss"].append(val_loss)

@@ -48,7 +48,16 @@ def main() -> int:
     ap.add_argument("--n-mp", type=int, default=400)
     ap.add_argument("--batch-size", type=int, default=0,
                     help="0 = auto (1024 on accelerators, 64 on CPU)")
+    ap.add_argument("--atom-dim", type=int, default=0,
+                    help="0 = family default (32); >32 also scales fp_size"
+                         " and picks the dim-aware 256-node window"
+                         " (battery 42 pt 2) — the large-dim quality arm")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=0.001)
+    ap.add_argument("--warmup", type=int, default=1000)
+    ap.add_argument("--normalize-y", action="store_true",
+                    help="z-score viscosity labels (battery 36's second "
+                         "collapse rescue; useful for large-dim arms)")
     ap.add_argument("--out", default="results/quality_protocols.json")
     args = ap.parse_args()
 
@@ -112,9 +121,13 @@ def main() -> int:
 
     impl = resolve_message_impl("auto")
     dtype = resolve_compute_dtype("auto")
-    window = resolve_onehot_window(dtype)
+    window = resolve_onehot_window(dtype, atom_dim=args.atom_dim or 32)
     on_cpu = jax.devices()[0].platform == "cpu"
     bs = args.batch_size or (64 if on_cpu else 1024)
+    dim_kw = {}
+    if args.atom_dim:
+        dim_kw = dict(atom_dim=args.atom_dim, fp_size=args.atom_dim,
+                      mixing_size=max(20, args.atom_dim // 2))
 
     def split_indices(records, kind):
         if kind == "random":
@@ -142,11 +155,13 @@ def main() -> int:
             te = [vis_ids[i] for i in idx[2]]
             cfg = viscosity_config(
                 vocab.atom_vocab_size, vocab.bond_vocab_size,
-                message_impl=impl, compute_dtype=dtype, onehot_window=window)
+                message_impl=impl, compute_dtype=dtype, onehot_window=window,
+                **dim_kw)
             tcfg = TrainConfig(
                 epochs=args.epochs_viscosity, batch_size=min(bs, len(tr)),
                 early_stopping_patience=50, seed=args.seed,
-                warmup_steps=1000)
+                learning_rate=args.lr, warmup_steps=args.warmup,
+                normalize_y=args.normalize_y)
             plan = plan_capacities(tr, batch_size=tcfg.batch_size,
                                    edge_layout=edge_layout_for(impl),
                                    window=window)
@@ -207,7 +222,8 @@ def main() -> int:
             te = [mp_ids[i] for i in idx[2]]
             cfg = viscosity_config(
                 vocab.atom_vocab_size, vocab.bond_vocab_size,
-                message_impl=impl, compute_dtype=dtype, onehot_window=window)
+                message_impl=impl, compute_dtype=dtype, onehot_window=window,
+                **dim_kw)
             plan = plan_capacities(tr, batch_size=min(bs, max(32, len(tr) // 4)),
                                    edge_layout=edge_layout_for(impl),
                                    window=window, with_temperature=False,
