@@ -205,6 +205,16 @@ def make_eval_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
     return jax.jit(step)
 
 
+@jax.jit
+def _pack_eval_leaves(leaves):
+    """Concatenate pytree leaves into one flat f32 device vector so the
+    host fetch costs ONE link round trip instead of one per leaf (the
+    remote relay prices device_get per array — see fit's dev-eval fetch
+    and the loss-stack fetch above it)."""
+    return jnp.concatenate(
+        [jnp.ravel(x).astype(jnp.float32) for x in leaves])
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _jit_predict(model, variables, batch):
     """Module-level jit keyed on the (hashable) flax module: repeated
@@ -763,22 +773,34 @@ def fit(
                     _run_group(group)
             t_disp = time.time()
             w = np.asarray(ns)
-            # stack per-group device scalars into ONE array before the
-            # fetch: device_get of a list costs one tunnel round trip per
-            # element on the remote relay backend (~24/epoch at 100k×2048)
-            if losses and isinstance(losses[0], jax.Array):
-                losses_h = np.asarray(jax.device_get(jnp.stack(losses)))
+            # Dispatch the dev eval BEFORE fetching anything, then fetch
+            # the epoch losses AND every eval output leaf as ONE packed
+            # f32 array: each host↔device round trip costs ~15 ms on the
+            # remote relay (IONIC_FIT_TIMERS attribution, battery 47), so
+            # the old fetch-losses → dispatch-eval → fetch-eval sequence
+            # carried 2 extra round trips per epoch. The eval dispatches
+            # queue behind the still-running epoch compute; the single
+            # fetch at the end syncs the whole chain.
+            outs = [eval_step(state.params, state.batch_stats, batch)
+                    for batch in dev_batches]
+            device_losses = bool(losses) and isinstance(losses[0], jax.Array)
+            if device_losses or outs:
+                loss_vec = (jnp.stack(losses) if device_losses
+                            else jnp.asarray(np.asarray(losses, np.float32)))
+                leaves, treedef = jax.tree.flatten(outs)
+                sizes = [max(1, int(np.prod(x.shape))) for x in leaves]
+                flat_h = np.asarray(_pack_eval_leaves([loss_vec] + leaves))
+                losses_h = flat_h[:loss_vec.size]
+                parts = np.split(flat_h[loss_vec.size:],
+                                 np.cumsum(sizes)[:-1]) if outs else []
+                outs = jax.tree.unflatten(
+                    treedef,
+                    [p.reshape(x.shape) for p, x in zip(parts, leaves)])
             else:
                 losses_h = np.asarray(jax.device_get(losses))
             train_loss = float(np.average(losses_h, weights=w))
             t_fetch = time.time()
 
-            # dispatch every dev batch, then fetch ONCE: a device_get per
-            # batch costs one tunnel round trip each (~ms-scale on the
-            # remote relay backend)
-            outs = [eval_step(state.params, state.batch_stats, batch)
-                    for batch in dev_batches]
-            outs = jax.device_get(outs)
             val_sum = sum(float(o["loss_sum"]) for o in outs)
             val_n = sum(float(o["n"]) for o in outs)
             reg = float(outs[-1]["reg"]) if outs else 0.0
