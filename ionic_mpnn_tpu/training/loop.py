@@ -208,9 +208,11 @@ def make_eval_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
 @jax.jit
 def _pack_eval_leaves(leaves):
     """Concatenate pytree leaves into one flat f32 device vector so the
-    host fetch costs ONE link round trip instead of one per leaf (the
-    remote relay prices device_get per array — see fit's dev-eval fetch
-    and the loss-stack fetch above it)."""
+    epoch losses and every dev-eval output come back in a single
+    np.asarray transfer. (device_get already coalesces a pytree into one
+    round trip on the relay — battery 47 measured packing alone as
+    neutral — but a single array lets the loss fetch and the eval fetch
+    share ONE transfer, removing a ~15 ms round trip per epoch.)"""
     return jnp.concatenate(
         [jnp.ravel(x).astype(jnp.float32) for x in leaves])
 

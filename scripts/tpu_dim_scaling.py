@@ -8,12 +8,14 @@ D) and reports ms/step, edges/s, and analytic-roofline MFU — the
 demonstration that the step formulation saturates the chip as the model
 grows.
 
-Usage: python scripts/tpu_dim_scaling.py [batch] [D[:impl] ...]
-       (defaults: 2048 and 32 64 128; impl in onehot|gather|symmetric|typed
-        — the one-hot formulation pays V× redundant select FLOPs, free at
-        D=32 where the MXU idles, dominant at D=128: mfu capped near 1/V.
-        Row-gather cost on this backend is ~width-independent (battery
-        30), so gather-class impls amortize at large D.)
+Usage: python scripts/tpu_dim_scaling.py [batch] [D[:impl[:window]] ...]
+       (defaults: 2048 and 32 64 128; impl in
+        onehot|basis|gather|symmetric|typed; window 0 = the dim-aware
+        auto rule. Battery 42 pt 2 verdicts: onehot wins at every D —
+        gather materializes (E,D,D) per-edge matrices (206.7 ms at D=64,
+        HBM-OOM at D=128), typed executes ~V× fewer FLOPs but its
+        scatters price it 1.4× slower, basis loses whenever F ≥ V; the
+        window knee is ~256 above D=32.)
 """
 
 import json
